@@ -1,0 +1,293 @@
+"""Batched differentiable NURBS surface evaluation, TPU-native.
+
+Functional re-design of the reference's ``NURBSSurfaces`` module
+(reference: artist/nurbs/surfaces.py:50-727) built for XLA:
+
+- **Analytic uniform knots**: clamped uniform knot vectors are never
+  materialized; knot values are computed in closed form from indices
+  (``clip((i - degree) / (C - degree), 0, 1)``), eliminating all knot
+  gathers (reference gathers knots per evaluation point,
+  artist/nurbs/surfaces.py:326-327).
+- **Static degree loops**: the Cox-de-Boor recurrence (The NURBS Book A2.3)
+  and the surface-derivative algorithm (A3.6) are unrolled over the (static,
+  small) spline degree, producing pure vectorized element-wise ops over the
+  ``[surfaces, facets, points]`` batch.
+- **Single windowed gather**: the (degree+1)^2 control-point window per
+  evaluation point is gathered once, then combined with the basis values via
+  two einsums (MXU-friendly), instead of (degree+1)^2 separate batched
+  gathers (reference: artist/nurbs/surfaces.py:592-613).
+
+All control points carry weight 1 (rational machinery kept for parity with
+the reference, artist/nurbs/surfaces.py:524-537).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from artist_tpu.geometry.transforms import _normalize, perform_canting
+
+
+def find_spans_uniform(
+    evaluation_points: jnp.ndarray, number_of_control_points: int, degree: int
+) -> jnp.ndarray:
+    """Knot spans for clamped uniform knot vectors, O(1) closed form.
+
+    reference: artist/nurbs/surfaces.py:198-207 (uniform branch).
+
+    Parameters
+    ----------
+    evaluation_points : jnp.ndarray
+        Parameter values in one direction. Shape ``[...]``.
+    number_of_control_points : int
+        Control points in this direction (static).
+    degree : int
+        Spline degree in this direction (static).
+
+    Returns
+    -------
+    jnp.ndarray
+        Span indices (int32), same shape as ``evaluation_points``.
+    """
+    n_unique = number_of_control_points - degree + 1
+    return jnp.floor(evaluation_points * (n_unique - 1)).astype(jnp.int32) + degree
+
+
+def _uniform_knot_value(
+    index: jnp.ndarray, number_of_control_points: int, degree: int
+) -> jnp.ndarray:
+    """Analytic clamped uniform knot value at ``index``.
+
+    Knot vector layout (reference: artist/nurbs/surfaces.py:98-155):
+    ``degree`` zeros, then linspace(0, 1, C - degree + 1), then ``degree``
+    ones - equivalently ``clip((i - degree) / (C - degree), 0, 1)``.
+    """
+    denom = number_of_control_points - degree
+    return jnp.clip(
+        (index.astype(jnp.float32) - degree) / denom, 0.0, 1.0
+    )
+
+
+def basis_functions_and_derivatives(
+    evaluation_points: jnp.ndarray,
+    spans: jnp.ndarray,
+    number_of_control_points: int,
+    degree: int,
+    nth_derivative: int = 1,
+) -> list[list[jnp.ndarray]]:
+    """Nonzero B-spline basis functions and derivatives (A2.3, statically unrolled).
+
+    reference: artist/nurbs/surfaces.py:247-417. All loops run over the
+    static degree, so XLA sees pure element-wise arithmetic on the batch.
+
+    Parameters
+    ----------
+    evaluation_points : jnp.ndarray
+        Parameter values, shape ``[...]`` (any batch shape).
+    spans : jnp.ndarray
+        Knot span per point, same shape.
+    number_of_control_points, degree, nth_derivative : int
+        Static sizes.
+
+    Returns
+    -------
+    list[list[jnp.ndarray]]
+        ``derivatives[k][r]``: k-th derivative of the r-th nonzero basis
+        function, each with the batch shape of ``evaluation_points``.
+    """
+    t = evaluation_points
+    ones = jnp.ones_like(t)
+    zeros = jnp.zeros_like(t)
+
+    def knot(i: jnp.ndarray) -> jnp.ndarray:
+        return _uniform_knot_value(i, number_of_control_points, degree)
+
+    ndu: list[list[jnp.ndarray]] = [
+        [zeros for _ in range(degree + 1)] for _ in range(degree + 1)
+    ]
+    ndu[0][0] = ones
+    left: list[jnp.ndarray] = [zeros for _ in range(degree + 1)]
+    right: list[jnp.ndarray] = [zeros for _ in range(degree + 1)]
+
+    for j in range(1, degree + 1):
+        left[j] = t - knot(spans - j + 1)
+        right[j] = knot(spans + j) - t
+        saved = zeros
+        for r in range(j):
+            ndu[j][r] = right[r + 1] + left[j - r]
+            tmp = ndu[r][j - 1] / ndu[j][r]
+            ndu[r][j] = saved + right[r + 1] * tmp
+            saved = left[j - r] * tmp
+        ndu[j][j] = saved
+
+    derivatives: list[list[jnp.ndarray]] = [
+        [zeros for _ in range(degree + 1)] for _ in range(nth_derivative + 1)
+    ]
+    for j in range(degree + 1):
+        derivatives[0][j] = ndu[j][degree]
+
+    # a stores (alternating) the two most recent rows of the A2.3 recursion.
+    a: list[list[jnp.ndarray]] = [[zeros for _ in range(degree + 1)] for _ in range(2)]
+    for r in range(degree + 1):
+        s1, s2 = 0, 1
+        a[0][0] = ones
+        for k in range(1, nth_derivative + 1):
+            d = zeros
+            rk = r - k
+            pk = degree - k
+            if r >= k:
+                a[s2][0] = a[s1][0] / ndu[pk + 1][rk]
+                d = a[s2][0] * ndu[rk][pk]
+            j1 = 1 if rk >= -1 else -rk
+            j2 = k - 1 if r - 1 <= pk else degree - r
+            for j in range(j1, j2 + 1):
+                a[s2][j] = (a[s1][j] - a[s1][j - 1]) / ndu[pk + 1][rk + j]
+                d = d + a[s2][j] * ndu[rk + j][pk]
+            if r <= pk:
+                a[s2][k] = -a[s1][k - 1] / ndu[pk + 1][r]
+                d = d + a[s2][k] * ndu[r][pk]
+            derivatives[k][r] = d
+            s1, s2 = s2, s1
+
+    factor = degree
+    for k in range(1, nth_derivative + 1):
+        for j in range(degree + 1):
+            derivatives[k][j] = derivatives[k][j] * factor
+        factor *= degree - k
+
+    return derivatives
+
+
+def _gather_control_point_windows(
+    control_points: jnp.ndarray,
+    window_start_u: jnp.ndarray,
+    window_start_v: jnp.ndarray,
+    degree_u: int,
+    degree_v: int,
+) -> jnp.ndarray:
+    """Gather the (degree+1)x(degree+1) control-point window per evaluation point.
+
+    One fused gather replacing the reference's per-(r, s) batched gathers
+    (reference: artist/nurbs/surfaces.py:419-473, 592-605).
+
+    Parameters
+    ----------
+    control_points : jnp.ndarray
+        Shape ``[S, F, Cu, Cv, C]``.
+    window_start_u, window_start_v : jnp.ndarray
+        Window origin indices (``span - degree``). Shape ``[S, F, P]``.
+
+    Returns
+    -------
+    jnp.ndarray
+        Windows. Shape ``[S, F, P, degree_u + 1, degree_v + 1, C]``.
+    """
+
+    def per_facet(cp: jnp.ndarray, iu0: jnp.ndarray, iv0: jnp.ndarray) -> jnp.ndarray:
+        iu = iu0[:, None] + jnp.arange(degree_u + 1, dtype=iu0.dtype)  # [P, du+1]
+        iv = iv0[:, None] + jnp.arange(degree_v + 1, dtype=iv0.dtype)  # [P, dv+1]
+        return cp[iu[:, :, None], iv[:, None, :]]  # [P, du+1, dv+1, C]
+
+    return jax.vmap(jax.vmap(per_facet))(control_points, window_start_u, window_start_v)
+
+
+@functools.partial(jax.jit, static_argnames=("degrees",))
+def evaluate_nurbs_surfaces(
+    control_points: jnp.ndarray,
+    degrees: tuple[int, int],
+    evaluation_points: jnp.ndarray,
+    canting: jnp.ndarray | None = None,
+    facet_translations: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Surface points and normals of batched NURBS surfaces (A3.6).
+
+    reference: artist/nurbs/surfaces.py:475-689.
+
+    Parameters
+    ----------
+    control_points : jnp.ndarray
+        Shape ``[S, F, Cu, Cv, 3]``.
+    degrees : tuple[int, int]
+        Spline degrees (u, v) - static.
+    evaluation_points : jnp.ndarray
+        Shape ``[S, F, P, 2]`` or ``[P, 2]`` (broadcast to all surfaces).
+    canting : jnp.ndarray | None
+        Canting vectors ``[S, F, 2, 4]``; if given, points/normals are canted
+        and translated into the heliostat frame.
+    facet_translations : jnp.ndarray | None
+        Facet translations ``[S, F, 4]``.
+
+    Returns
+    -------
+    tuple of jnp.ndarray
+        Homogeneous surface points and unit normals, each ``[S, F, P, 4]``.
+    """
+    degree_u, degree_v = int(degrees[0]), int(degrees[1])
+    num_s, num_f, num_cu, num_cv, _ = control_points.shape
+
+    if evaluation_points.ndim == 2:
+        evaluation_points = jnp.broadcast_to(
+            evaluation_points[None, None],
+            (num_s, num_f) + evaluation_points.shape,
+        )
+
+    t_u = evaluation_points[..., 0]
+    t_v = evaluation_points[..., 1]
+    spans_u = find_spans_uniform(t_u, num_cu, degree_u)
+    spans_v = find_spans_uniform(t_v, num_cv, degree_v)
+
+    basis_u = basis_functions_and_derivatives(t_u, spans_u, num_cu, degree_u, 1)
+    basis_v = basis_functions_and_derivatives(t_v, spans_v, num_cv, degree_v, 1)
+
+    # Homogeneous control points: weight channel fixed to 1
+    # (reference: artist/nurbs/surfaces.py:524-537).
+    cp_h = jnp.concatenate(
+        [control_points, jnp.ones(control_points.shape[:-1] + (1,), control_points.dtype)],
+        axis=-1,
+    )
+
+    windows = _gather_control_point_windows(
+        cp_h, spans_u - degree_u, spans_v - degree_v, degree_u, degree_v
+    )  # [S, F, P, du+1, dv+1, 4]
+
+    # Stack the basis values into [S, F, P, order, basis_index] tensors and
+    # contract with the windows: two small einsums instead of nested loops.
+    bu = jnp.stack(
+        [jnp.stack(basis_u[k], axis=-1) for k in range(2)], axis=-2
+    )  # [S, F, P, 2, du+1]
+    bv = jnp.stack(
+        [jnp.stack(basis_v[k], axis=-1) for k in range(2)], axis=-2
+    )  # [S, F, P, 2, dv+1]
+
+    # True-f32 contraction: TPU default matmul precision (bf16 passes) would
+    # lose ~1e-3 on surface coordinates, which alignment then amplifies.
+    temp = jnp.einsum(
+        "sfpkr,sfprtc->sfpktc", bu, windows, precision=jax.lax.Precision.HIGHEST
+    )
+    skl = jnp.einsum(
+        "sfplt,sfpktc->sfpklc", bv, temp, precision=jax.lax.Precision.HIGHEST
+    )  # [S, F, P, k, l, 4]
+
+    surface_points_homogeneous = skl[..., 0, 0, :]
+    weights = surface_points_homogeneous[..., 3:4]
+    points3 = surface_points_homogeneous[..., :3] / weights
+
+    normals3 = jnp.cross(skl[..., 1, 0, :3], skl[..., 0, 1, :3])
+    normals3 = _normalize(normals3)
+
+    points4 = jnp.concatenate(
+        [points3, jnp.ones(points3.shape[:-1] + (1,), points3.dtype)], axis=-1
+    )
+    normals4 = jnp.concatenate(
+        [normals3, jnp.zeros(normals3.shape[:-1] + (1,), normals3.dtype)], axis=-1
+    )
+
+    if canting is not None:
+        points4 = perform_canting(canting, points4)
+        points4 = points4 + facet_translations[:, :, None, :]
+        normals4 = perform_canting(canting, normals4)
+
+    return points4, normals4
