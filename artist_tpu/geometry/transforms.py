@@ -154,8 +154,10 @@ def apply_distortion_rotation(
     out_n = cos_e * sin_u * de + cos_e * cos_u * dn - sin_e * du
     out_u = sin_e * sin_u * de + sin_e * cos_u * dn + cos_e * du
     if directions.shape[-1] == 4:
-        return jnp.stack([out_e, out_n, out_u, directions[..., 3]], axis=-1)
-    return jnp.stack([out_e, out_n, out_u], axis=-1)
+        components = jnp.broadcast_arrays(out_e, out_n, out_u, directions[..., 3])
+    else:
+        components = jnp.broadcast_arrays(out_e, out_n, out_u)
+    return jnp.stack(components, axis=-1)
 
 
 def _normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

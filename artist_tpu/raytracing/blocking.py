@@ -1,0 +1,160 @@
+"""Heliostat-on-heliostat blocking: soft differentiable mask, TPU-native.
+
+reference: artist/raytracing/blocking.py:123-354 (primitive construction +
+soft mask) and :513-995 (LBVH cull).
+
+TPU design choice (SURVEY.md section 7): the reference culls candidate
+blockers with a per-ray stack-based LBVH traversal - extremely irregular
+control flow that maps poorly onto the TPU. Heliostat fields have at most a
+few thousand rectangle primitives, so the O(rays x primitives) soft mask is
+evaluated **brute force** as dense vectorized math (VPU-friendly), with the
+LBVH's only semantic contribution - "blockers beyond the ray's target hit do
+not block" - reproduced as a hard (stop-gradient) distance gate. This is
+correctness-equivalent to LBVH-cull + soft mask and removes the irregular
+traversal entirely. A primitive-tiling Pallas kernel slots in here when
+fields grow beyond VMEM-friendly sizes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from artist_tpu.geometry.transforms import _normalize
+
+
+def create_blocking_primitives_rectangles_by_index(
+    surface_points: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reduce each heliostat to a 4-corner rectangle + spans + normal.
+
+    Assumes the reference's canonical 4-facet 2x2 layout with row-major
+    per-facet point grids (reference:
+    artist/raytracing/blocking.py:123-209); corners are picked by fixed
+    index.
+
+    Parameters
+    ----------
+    surface_points : jnp.ndarray
+        World-frame surface points of all potential blockers.
+        Shape ``[H, P, 4]``.
+
+    Returns
+    -------
+    tuple of jnp.ndarray
+        corners ``[H, 4, 4]`` (lower-left, upper-left, upper-right,
+        lower-right), spans ``[H, 2, 4]`` (u = ul - ll, v = lr - ll),
+        unit normals ``[H, 4]``.
+    """
+    number_of_surface_points = surface_points.shape[1]
+    side = int(math.sqrt(number_of_surface_points / 4))
+
+    lower_left = surface_points[:, number_of_surface_points // 2]
+    lower_right = surface_points[:, number_of_surface_points - side]
+    upper_right = surface_points[:, number_of_surface_points // 2 - 1]
+    upper_left = surface_points[:, side - 1]
+
+    corners = jnp.stack([lower_left, upper_left, upper_right, lower_right], axis=1)
+    spans = jnp.stack(
+        [corners[:, 1] - corners[:, 0], corners[:, 3] - corners[:, 0]], axis=1
+    )
+    normals3 = _normalize(jnp.cross(spans[:, 0, :3], spans[:, 1, :3]))
+    normals = jnp.concatenate(
+        [normals3, jnp.zeros((surface_points.shape[0], 1), surface_points.dtype)],
+        axis=-1,
+    )
+    return corners, spans, normals
+
+
+def soft_ray_blocking_mask(
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    blocking_primitives_corners: jnp.ndarray,
+    blocking_primitives_spans: jnp.ndarray,
+    blocking_primitives_normals: jnp.ndarray,
+    intersection_distances_target: jnp.ndarray | None = None,
+    epsilon: float = 1e-12,
+    softness: float = 1000.0,
+    alpha: float = 100.0,
+    ray_origin_offset: float = 0.05,
+) -> jnp.ndarray:
+    """Soft differentiable blocking mask with Beer-Lambert accumulation.
+
+    Per (ray, primitive): solve the ray-plane intersection, sigmoid-gate
+    "in front of the origin" (offset 5 cm kills self-intersections) and
+    "inside the parallelogram" (local (u, v) via the 2x2 Gram solve), then
+    accumulate optical depth exp(-alpha * sum(sigma)).
+    reference: artist/raytracing/blocking.py:212-354.
+
+    Parameters
+    ----------
+    ray_origins : jnp.ndarray
+        Shape ``[M, P, 4]``.
+    ray_directions : jnp.ndarray
+        Shape ``[M, R, P, 4]``.
+    blocking_primitives_* : jnp.ndarray
+        ``[B, 4, 4]`` corners, ``[B, 2, 4]`` spans, ``[B, 4]`` normals.
+    intersection_distances_target : jnp.ndarray | None
+        Per-ray distance to the target hit, ``[M, R, P]``. When given,
+        blockers farther along the ray than the target are hard-masked out
+        (the LBVH cull's distance semantics,
+        reference: artist/raytracing/blocking.py:92-101); the gate is
+        non-differentiable like the reference's no-grad cull.
+
+    Returns
+    -------
+    jnp.ndarray
+        blocked in [0, 1]. Shape ``[M, R, P]``.
+    """
+    origins = ray_origins[:, None, :, None, :3]  # [M, 1, P, 1, 3]
+    directions = ray_directions[:, :, :, None, :3]  # [M, R, P, 1, 3]
+
+    corner_0 = blocking_primitives_corners[None, None, None, :, 0, :3]
+    span_u = blocking_primitives_spans[None, None, None, :, 0, :3]
+    span_v = blocking_primitives_spans[None, None, None, :, 1, :3]
+    normals = blocking_primitives_normals[None, None, None, :, :3]
+
+    denominator = jnp.sum(directions * normals, axis=-1)
+    denominator_safe = jnp.where(
+        jnp.abs(denominator) < epsilon,
+        jnp.where(denominator >= 0, epsilon, -epsilon),
+        denominator,
+    )
+    distances = (
+        jnp.sum((corner_0 - origins) * normals, axis=-1) / denominator_safe
+    )  # [M, R, P, B]
+    in_front = jax.nn.sigmoid(softness * (distances - ray_origin_offset))
+
+    intersection_points = origins + distances[..., None] * directions
+    offset_from_corner = intersection_points - corner_0
+
+    span_u_sq = jnp.sum(span_u * span_u, axis=-1)
+    span_v_sq = jnp.sum(span_v * span_v, axis=-1)
+    span_uv = jnp.sum(span_u * span_v, axis=-1)
+    proj_u = jnp.sum(offset_from_corner * span_u, axis=-1)
+    proj_v = jnp.sum(offset_from_corner * span_v, axis=-1)
+    det = span_u_sq * span_v_sq - span_uv * span_uv
+    det_safe = jnp.where(jnp.abs(det) < epsilon, jnp.sign(det) * epsilon, det)
+    u_coord = (proj_u * span_v_sq - proj_v * span_uv) / det_safe
+    v_coord = (proj_v * span_u_sq - proj_u * span_uv) / det_safe
+
+    inside_u = jax.nn.sigmoid(softness * u_coord) * jax.nn.sigmoid(
+        softness * (1 - u_coord)
+    )
+    inside_v = jax.nn.sigmoid(softness * v_coord) * jax.nn.sigmoid(
+        softness * (1 - v_coord)
+    )
+    sigma = jnp.clip(inside_u * inside_v * in_front, 0.0, 1.0)
+
+    if intersection_distances_target is not None:
+        # Hard cull (matches the LBVH's non-differentiable distance filter):
+        # a blocker farther than the target hit cannot block the ray.
+        behind_target = jax.lax.stop_gradient(
+            distances > intersection_distances_target[..., None]
+        )
+        sigma = jnp.where(behind_target, 0.0, sigma)
+
+    optical_depth = alpha * jnp.sum(sigma, axis=-1)
+    return 1.0 - jnp.exp(-optical_depth)

@@ -1,0 +1,118 @@
+"""Differentiable bilinear splatting of ray intensities onto flux bitmaps.
+
+reference: artist/raytracing/heliostat_ray_tracer.py:610-778 (flattened
+``scatter_add_`` with out-of-bounds zeroing and a final up-down flip).
+
+TPU notes: the baseline implementation uses one batched XLA scatter-add per
+bitmap with all four bilinear neighbors concatenated into a single index
+tensor. Alternative backends (sort+segment, Pallas) hang off the same
+signature in :mod:`artist_tpu.kernels` and are selected by ``method``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_splat(
+    bitmap_coordinates_e: jnp.ndarray,
+    bitmap_coordinates_u: jnp.ndarray,
+    intensities: jnp.ndarray,
+    bitmap_resolution: tuple[int, int],
+    flip_up_down: bool = True,
+    method: str = "scatter",
+) -> jnp.ndarray:
+    """Splat ray intensities onto per-heliostat bitmaps.
+
+    Each intersection deposits into its four neighboring pixels with
+    bilinear weights; rays whose 2x2 stencil leaves the bitmap are dropped
+    (matching the reference's strict bounds,
+    artist/raytracing/heliostat_ray_tracer.py:723-765).
+
+    Parameters
+    ----------
+    bitmap_coordinates_e, bitmap_coordinates_u : jnp.ndarray
+        Continuous pixel coordinates. Shape ``[M, ...]`` (flattened per
+        heliostat internally).
+    intensities : jnp.ndarray
+        Ray intensities, same shape.
+    bitmap_resolution : tuple[int, int]
+        (width_e, height_u), static.
+    flip_up_down : bool
+        Flip the row axis so the image origin is bottom-left (default True).
+    method : str
+        "scatter" (XLA scatter-add baseline) - more backends to come.
+
+    Returns
+    -------
+    jnp.ndarray
+        Flux bitmaps. Shape ``[M, height_u, width_e]``.
+    """
+    width, height = int(bitmap_resolution[0]), int(bitmap_resolution[1])
+    num_heliostats = intensities.shape[0]
+
+    e = bitmap_coordinates_e.reshape(num_heliostats, -1)
+    u = bitmap_coordinates_u.reshape(num_heliostats, -1)
+    w = intensities.reshape(num_heliostats, -1)
+
+    low_e = jnp.floor(e).astype(jnp.int32)
+    low_u = jnp.floor(u).astype(jnp.int32)
+
+    # Separable bilinear weights.
+    contrib_low_e = low_e + 1 - e
+    contrib_low_u = low_u + 1 - u
+    contrib_high_e = e - low_e
+    contrib_high_u = u - low_u
+
+    on_target = (
+        (0 <= low_e) & (low_e + 1 < width) & (0 <= low_u) & (low_u + 1 < height)
+    )
+
+    # Pixel 1: (low_u+1, low_e); 2: (low_u+1, low_e+1); 3: (low_u, low_e+1);
+    # 4: (low_u, low_e) - the reference's neighbor numbering.
+    weights = jnp.concatenate(
+        [
+            contrib_low_e * contrib_high_u * w,
+            contrib_high_e * contrib_high_u * w,
+            contrib_high_e * contrib_low_u * w,
+            contrib_low_e * contrib_low_u * w,
+        ],
+        axis=1,
+    )
+    flat_ids = jnp.concatenate(
+        [
+            (low_u + 1) * width + low_e,
+            (low_u + 1) * width + low_e + 1,
+            low_u * width + low_e + 1,
+            low_u * width + low_e,
+        ],
+        axis=1,
+    )
+    mask4 = jnp.concatenate([on_target] * 4, axis=1)
+    flat_ids = jnp.where(mask4, flat_ids, 0)
+    weights = weights * mask4
+
+    if method == "scatter":
+        bitmaps_flat = _scatter_splat(flat_ids, weights, height * width)
+    else:
+        raise ValueError(f"Unknown splat method: {method}")
+
+    bitmaps = bitmaps_flat.reshape(num_heliostats, height, width)
+    if flip_up_down:
+        bitmaps = jnp.flip(bitmaps, axis=1)
+    return bitmaps
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins",))
+def _scatter_splat(
+    flat_ids: jnp.ndarray, weights: jnp.ndarray, num_bins: int
+) -> jnp.ndarray:
+    """Batched scatter-add: [M, N] ids/weights -> [M, num_bins]."""
+
+    def one(ids: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        return jnp.zeros((num_bins,), dtype=w.dtype).at[ids].add(w)
+
+    return jax.vmap(one)(flat_ids, weights)

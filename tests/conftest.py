@@ -15,12 +15,19 @@ import sys
 
 # Hard override: the container environment pins JAX_PLATFORMS=axon (real TPU
 # behind a tunnel with slow remote compiles); tests run on the virtual CPU mesh.
+# The axon sitecustomize overrides jax_platforms in-config at import, so the
+# env var alone is NOT enough - the config must be forced back after import.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE_ROOT = pathlib.Path("/root/reference")
