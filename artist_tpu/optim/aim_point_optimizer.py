@@ -1,0 +1,498 @@
+"""Workload 3: field-level flux shaping via motor positions.
+
+TPU-native re-design of the reference AimPointOptimizer
+(reference: artist/optim/aim_point_optimizer.py:63-972):
+
+- The tanh reparameterization (scale = min margin to the motor limits,
+  clamped >= 1, reference: aim_point_optimizer.py:127-258) keeps relative
+  update magnitudes comparable across heliostats.
+- One jitted step covers ALL heliostat groups: align every group from its
+  reparameterized motor positions, build the blocking primitives from the
+  aligned surfaces of the whole field, trace with blocking ON, sum flux on
+  the chosen target, apply the KL loss plus three Augmented-Lagrangian
+  constraints (flux integral up, per-heliostat intercept up, per-pixel flux
+  density down, reference: aim_point_optimizer.py:523-679).
+- The cross-rank differentiable flux all-reduce becomes an XLA ``psum``
+  inserted automatically when a mesh shards the heliostat axis.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from artist_tpu.field import heliostat_group as hg
+from artist_tpu.field.solar_tower import get_centers_of_target_areas
+from artist_tpu.optim import losses, training
+from artist_tpu.raytracing import RenderConfig, trace_rays
+from artist_tpu.raytracing.blocking import (
+    create_blocking_primitives_rectangles_by_index,
+)
+from artist_tpu.raytracing.render import compute_ray_magnitude, get_bitmaps_per_target
+from artist_tpu.scenario.scenario import Scenario
+from artist_tpu.util import constants, indices
+
+log = logging.getLogger("artist_tpu.optim")
+
+
+class AimPointOptimizer:
+    """Optimize motor positions so the field's total flux matches a target
+    distribution.
+
+    reference: artist/optim/aim_point_optimizer.py:63-972.
+
+    Parameters
+    ----------
+    scenario : Scenario
+        The runtime scene.
+    optimization_configuration : dict
+        ``{optimization: {...}, scheduler: {...}, constraints: {...}}``.
+    incident_ray_direction : array-like
+        The common incident ray direction. Shape ``[4]``.
+    target_area_index : int
+        Global index of the target area receiving the flux.
+    ground_truth : array-like
+        Target flux distribution. Shape ``[height_u, width_e]``.
+    dni : float
+        Direct normal irradiance in W/m^2.
+    """
+
+    def __init__(
+        self,
+        scenario: Scenario,
+        optimization_configuration: dict[str, Any],
+        incident_ray_direction,
+        target_area_index: int,
+        ground_truth,
+        dni: float,
+        bitmap_resolution: tuple[int, int] = (256, 256),
+        epsilon: float = 1e-12,
+        seed: int = 7,
+    ) -> None:
+        self.scenario = scenario
+        self.optimizer_dict = optimization_configuration[constants.optimization]
+        self.scheduler_dict = optimization_configuration[constants.scheduler]
+        self.constraint_dict = optimization_configuration[constants.constraints]
+        self.incident_ray_direction = jnp.asarray(
+            incident_ray_direction, dtype=jnp.float32
+        )
+        self.target_area_index = int(target_area_index)
+        self.ground_truth = jnp.asarray(ground_truth, dtype=jnp.float32)
+        self.dni = float(dni)
+        self.bitmap_resolution = tuple(bitmap_resolution)
+        self.epsilon = epsilon
+        self.seed = seed
+
+    # ------------------------------------------------------------------ #
+
+    def _target_plane_dimensions(self) -> np.ndarray:
+        """Physical (width, height) of the chosen target area.
+
+        reference: artist/optim/aim_point_optimizer.py:300-348.
+        """
+        tower = self.scenario.solar_tower
+        n_planar = tower.number_of_planar_target_areas
+        if self.target_area_index < n_planar:
+            return np.asarray(tower.planar_dimensions[self.target_area_index])
+        c = self.target_area_index - n_planar
+        return np.asarray(
+            [
+                float(tower.cylindrical_radii[c])
+                * float(tower.cylindrical_opening_angles[c]),
+                float(tower.cylindrical_heights[c]),
+            ]
+        )
+
+    def _initialize_group_parameters(self):
+        """Pre-align all groups to get initial motor positions + tanh scales.
+
+        reference: artist/optim/aim_point_optimizer.py:127-258.
+        """
+        initial_motor_positions = []
+        scales = []
+        params = []
+        actives = []
+        per_group_targets = []
+        per_group_incident = []
+        for group in self.scenario.heliostat_groups:
+            num = group.number_of_heliostats
+            active_indices = jnp.arange(num, dtype=jnp.int32)
+            target_indices = jnp.full(
+                (num,), self.target_area_index, dtype=jnp.int32
+            )
+            incident = jnp.broadcast_to(self.incident_ray_direction, (num, 4))
+            active = hg.gather_active(group, active_indices)
+            aim = get_centers_of_target_areas(
+                self.scenario.solar_tower, target_indices
+            )
+            _, _, _, motor_positions = (
+                hg.align_surfaces_with_incident_ray_directions(
+                    active, aim, incident
+                )
+            )
+            motor_positions = jax.lax.stop_gradient(motor_positions)
+            minimum = group.actuator_non_optimizable[
+                :, indices.actuator_min_motor_position
+            ]
+            maximum = group.actuator_non_optimizable[
+                :, indices.actuator_max_motor_position
+            ]
+            lower_margin = motor_positions - minimum
+            upper_margin = maximum - motor_positions
+            scale = jnp.clip(jnp.minimum(lower_margin, upper_margin), 1.0, None)
+
+            initial_motor_positions.append(motor_positions)
+            scales.append(scale)
+            params.append(jnp.zeros_like(motor_positions))
+            actives.append(active_indices)
+            per_group_targets.append(target_indices)
+            per_group_incident.append(incident)
+        return (
+            tuple(params),
+            tuple(scales),
+            tuple(initial_motor_positions),
+            tuple(actives),
+            tuple(per_group_targets),
+            tuple(per_group_incident),
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def optimize(self, loss_definition: str = "kl_divergence"):
+        """Run the aim-point optimization.
+
+        reference: artist/optim/aim_point_optimizer.py:724-972.
+
+        Returns
+        -------
+        tuple
+            (final loss, loss history dict, intercept factors, on-target
+            factors, blocking factors). The scenario's heliostat groups get
+            the optimized motor positions.
+        """
+        log.info("Start the aim point optimization.")
+        groups = self.scenario.heliostat_groups
+        tower = self.scenario.solar_tower
+        sun = self.scenario.light_sources[0]
+        (
+            params,
+            scales,
+            initial_motor_positions,
+            active_indices,
+            target_indices,
+            incident_dirs,
+        ) = self._initialize_group_parameters()
+
+        # Exposed for inspection (initial pre-aligned motor positions and the
+        # tanh reparameterization scales).
+        self.initial_motor_positions_all_groups = initial_motor_positions
+        self.scales_all_groups = scales
+
+        key = jax.random.PRNGKey(self.seed)
+        group_keys = jax.random.split(key, len(groups))
+        distortions = []
+        ray_magnitudes = []
+        for group, group_key in zip(groups, group_keys):
+            num_points = group.surface_points.shape[1]
+            distortions.append(
+                sun.get_distortions(
+                    group_key, num_points, group.number_of_heliostats
+                )
+            )
+            ray_magnitudes.append(
+                compute_ray_magnitude(
+                    self.dni, group.canting, num_points, sun.number_of_rays
+                )
+            )
+        distortions = tuple(distortions)
+
+        target_plane_dimensions = self._target_plane_dimensions()
+        max_flux_density_per_pixel = float(
+            np.prod(target_plane_dimensions)
+            / np.prod(self.bitmap_resolution)
+            * self.constraint_dict[constants.max_flux_density]
+        )
+        rho_local = float(self.constraint_dict[constants.rho_local_flux])
+        rho_integral = float(self.constraint_dict[constants.rho_flux_integral])
+        rho_intercept = float(self.constraint_dict[constants.rho_intercept])
+        epsilon = self.epsilon
+        use_constraints = loss_definition == "kl_divergence"
+        render_config = RenderConfig(
+            bitmap_resolution=self.bitmap_resolution, blocking_active=True
+        )
+        number_of_target_areas = tower.number_of_target_areas
+
+        def forward(group_params):
+            """Align all groups, trace with blocking, accumulate target flux."""
+            aligned = []
+            for g, group in enumerate(groups):
+                motor = initial_motor_positions[g] + jnp.tanh(
+                    group_params[g]
+                ) * scales[g]
+                active = hg.gather_active(group, active_indices[g])
+                points, normals, _ = hg.align_surfaces_with_motor_positions(
+                    active, motor
+                )
+                aligned.append((points, normals))
+
+            # Field-wide blocking primitives from all aligned surfaces
+            # (reference: heliostat_ray_tracer.py:159-183).
+            corners, spans, prim_normals = [], [], []
+            for points, _ in aligned:
+                c, s, n = create_blocking_primitives_rectangles_by_index(points)
+                corners.append(c)
+                spans.append(s)
+                prim_normals.append(n)
+            primitives = (
+                jnp.concatenate(corners),
+                jnp.concatenate(spans),
+                jnp.concatenate(prim_normals),
+            )
+
+            total_flux = jnp.zeros(
+                (self.bitmap_resolution[1], self.bitmap_resolution[0]),
+                dtype=jnp.float32,
+            )
+            intercepts, on_targets, blockings = [], [], []
+            for g, group in enumerate(groups):
+                points, normals = aligned[g]
+                flux, intercept, on_target, blocking = trace_rays(
+                    tower=tower,
+                    aligned_surface_points=points,
+                    aligned_surface_normals=normals,
+                    incident_ray_directions=incident_dirs[g],
+                    target_area_indices=target_indices[g],
+                    distortions_u=distortions[g][0],
+                    distortions_e=distortions[g][1],
+                    ray_magnitude=ray_magnitudes[g],
+                    blocking_primitives=primitives,
+                    config=render_config,
+                )
+                total_flux = total_flux + get_bitmaps_per_target(
+                    flux, target_indices[g], number_of_target_areas
+                )[self.target_area_index]
+                intercepts.append(intercept)
+                on_targets.append(on_target)
+                blockings.append(blocking)
+            return (
+                total_flux,
+                jnp.concatenate(intercepts),
+                jnp.concatenate(on_targets),
+                jnp.concatenate(blockings),
+            )
+
+        def flux_loss_fn(total_flux):
+            if loss_definition == "kl_divergence":
+                return losses.kl_divergence_loss(
+                    total_flux[None], self.ground_truth[None]
+                )[0]
+            if loss_definition == "pixel":
+                return losses.pixel_loss(total_flux[None], self.ground_truth[None])[0]
+            raise ValueError(
+                f"Unknown loss for aim point optimization: {loss_definition}"
+            )
+
+        def loss_fn(group_params, references, lambdas):
+            total_flux, intercepts, on_targets, blockings = forward(group_params)
+            flux_loss = flux_loss_fn(total_flux)
+            aux = {
+                "flux_loss": flux_loss,
+                "total_flux_sum": jnp.sum(total_flux),
+                "intercepts": intercepts,
+                "on_targets": on_targets,
+                "blockings": blockings,
+            }
+            if not use_constraints:
+                aux.update(
+                    flux_integral_constraint=0.0,
+                    intercept_constraint=0.0,
+                    local_flux_constraint=0.0,
+                    flux_integral_difference=0.0,
+                    intercept_differences_mean=0.0,
+                    local_flux_violation_max=0.0,
+                )
+                return flux_loss, aux
+
+            flux_integral_reference, intercept_reference = references
+            lambda_integral, lambda_intercept, lambda_local = lambdas
+
+            # Flux integral must not drop below the epoch-0 reference
+            # (reference: aim_point_optimizer.py:608-623).
+            integral_difference = (
+                flux_integral_reference - jnp.sum(total_flux)
+            ) / (flux_integral_reference + epsilon)
+            integral_clamped = jnp.clip(integral_difference, 0.0, None)
+            integral_constraint = (
+                lambda_integral * integral_clamped
+                + 0.5 * rho_integral * integral_clamped**2
+            )
+
+            # Per-heliostat intercept must not drop (spillage,
+            # reference: aim_point_optimizer.py:625-636).
+            intercept_differences = (intercept_reference - intercepts) / (
+                intercept_reference + epsilon
+            )
+            intercept_clamped = jnp.clip(intercept_differences, 0.0, None)
+            intercept_constraint = jnp.mean(
+                lambda_intercept * intercept_clamped
+                + 0.5 * rho_intercept * intercept_clamped**2
+            )
+
+            # Local flux density cap (reference: aim_point_optimizer.py:638-647).
+            local_violation = (total_flux - max_flux_density_per_pixel) / (
+                max_flux_density_per_pixel + epsilon
+            )
+            local_clamped = jnp.clip(local_violation, 0.0, None)
+            local_constraint = jnp.max(
+                lambda_local * local_clamped + 0.5 * rho_local * local_clamped**2
+            )
+
+            loss = (
+                flux_loss + integral_constraint + intercept_constraint + local_constraint
+            )
+            aux.update(
+                flux_integral_constraint=integral_constraint,
+                intercept_constraint=intercept_constraint,
+                local_flux_constraint=local_constraint,
+                flux_integral_difference=integral_difference,
+                intercept_differences_mean=jnp.mean(intercept_differences),
+                local_flux_violation_max=jnp.max(local_violation),
+            )
+            return loss, aux
+
+        base_optimizer = optax.adam(learning_rate=1.0)
+
+        def scaled_update(grads, state, params_=None, *, learning_rate):
+            updates, state = base_optimizer.update(grads, state, params_)
+            updates = jax.tree.map(lambda u: u * learning_rate, updates)
+            return updates, state
+
+        optimizer = optax.GradientTransformationExtraArgs(
+            init=base_optimizer.init, update=scaled_update
+        )
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(group_params, opt_state, references, lambdas, learning_rate):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                group_params, references, lambdas
+            )
+            updates, opt_state = optimizer.update(
+                grads, opt_state, group_params, learning_rate=learning_rate
+            )
+            group_params = jax.tree.map(
+                lambda p, u: p + u, group_params, updates
+            )
+            # AL multiplier updates (reference: aim_point_optimizer.py:656-668).
+            lambda_integral, lambda_intercept, lambda_local = lambdas
+            new_lambdas = (
+                jnp.clip(
+                    lambda_integral
+                    + rho_integral * aux["flux_integral_difference"],
+                    0.0,
+                    None,
+                ),
+                jnp.clip(
+                    lambda_intercept
+                    + rho_intercept * aux["intercept_differences_mean"],
+                    0.0,
+                    None,
+                ),
+                jnp.clip(
+                    lambda_local + rho_local * aux["local_flux_violation_max"],
+                    0.0,
+                    None,
+                ),
+            )
+            return group_params, opt_state, new_lambdas, loss, aux
+
+        # Epoch-0 references (the reference captures them in its first epoch,
+        # where all constraint terms evaluate to exactly zero).
+        init_flux, init_intercepts, _, _ = jax.jit(forward)(params)
+        references = (
+            jax.lax.stop_gradient(jnp.sum(init_flux)),
+            jax.lax.stop_gradient(init_intercepts),
+        )
+        lambdas = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+
+        opt_state = optimizer.init(params)
+        initial_lr = float(self.optimizer_dict[constants.initial_learning_rate])
+        scheduler = training.make_scheduler(initial_lr, self.scheduler_dict)
+        early_stopper = training.EarlyStopping(
+            window_size=int(self.optimizer_dict[constants.early_stopping_window]),
+            patience=int(self.optimizer_dict[constants.early_stopping_patience]),
+            min_improvement=float(self.optimizer_dict[constants.early_stopping_delta]),
+            relative=True,
+        )
+        max_epoch = int(self.optimizer_dict[constants.max_epoch])
+        tolerance = float(self.optimizer_dict[constants.tolerance])
+        log_step = int(self.optimizer_dict.get(constants.log_step, 0)) or max_epoch
+
+        history: dict[str, list[float]] = {
+            k: []
+            for k in (
+                "total_loss",
+                "flux_loss",
+                "local_flux_constraint",
+                "intercept_constraint",
+                "flux_integral_constraint",
+                "flux_integral",
+            )
+        }
+        loss_value = np.inf
+        aux = None
+        epoch = 0
+        while loss_value > tolerance and epoch <= max_epoch:
+            if isinstance(scheduler, training.ReduceOnPlateau):
+                learning_rate = scheduler.learning_rate
+            else:
+                learning_rate = float(scheduler(epoch))
+            params, opt_state, lambdas, loss_j, aux = train_step(
+                params, opt_state, references, lambdas, jnp.float32(learning_rate)
+            )
+            loss_value = float(loss_j)
+            if isinstance(scheduler, training.ReduceOnPlateau):
+                scheduler.step(loss_value)
+            if epoch % log_step == 0:
+                log.info("Epoch: %d, Loss: %.6f, LR: %.2e", epoch, loss_value, learning_rate)
+            history["total_loss"].append(loss_value)
+            history["flux_loss"].append(float(aux["flux_loss"]))
+            if use_constraints:
+                reference_integral = float(references[0])
+                history["flux_integral"].append(
+                    100.0
+                    / reference_integral
+                    * (float(aux["total_flux_sum"]) - reference_integral + 1e-8)
+                )
+                history["local_flux_constraint"].append(
+                    float(aux["local_flux_constraint"])
+                )
+                history["intercept_constraint"].append(
+                    float(aux["intercept_constraint"])
+                )
+                history["flux_integral_constraint"].append(
+                    float(aux["flux_integral_constraint"])
+                )
+            if early_stopper.step(loss_value):
+                log.info("Early stopping at epoch %d.", epoch)
+                break
+            epoch += 1
+
+        # Write optimized motor positions back into the scenario groups.
+        for g, group in enumerate(groups):
+            motor = initial_motor_positions[g] + jnp.tanh(params[g]) * scales[g]
+            self.scenario.heliostat_groups[g] = group.replace(motor_positions=motor)
+
+        log.info("Aim points optimized.")
+        return (
+            loss_value,
+            history,
+            np.asarray(aux["intercepts"]) if aux is not None else None,
+            np.asarray(aux["on_targets"]) if aux is not None else None,
+            np.asarray(aux["blockings"]) if aux is not None else None,
+        )

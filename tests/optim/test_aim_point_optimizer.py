@@ -1,0 +1,99 @@
+"""Aim-point optimization on the four-heliostat PAINT scenario.
+
+reference: tests/optim/test_aim_point_optimizer.py (goldens absent from the
+snapshot; assertions check loss decrease, motor movement within limits, and
+constraint history production).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from artist_tpu.flux.bitmap import trapezoid_distribution
+from artist_tpu.optim.aim_point_optimizer import AimPointOptimizer
+from artist_tpu.scenario import load_scenario_from_hdf5
+from artist_tpu.util import constants
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+SCENARIO = (
+    REFERENCE_ROOT / "tests/data/scenarios/test_scenario_paint_four_heliostats.h5"
+)
+
+
+def _configuration(max_epoch: int = 12) -> dict:
+    return {
+        constants.optimization: {
+            constants.initial_learning_rate: 1e-3,
+            constants.tolerance: 0.0005,
+            constants.max_epoch: max_epoch,
+            constants.batch_size: 50,
+            constants.log_step: 1,
+            constants.early_stopping_delta: 1.0,
+            constants.early_stopping_patience: 2,
+            constants.early_stopping_window: 40,
+        },
+        constants.scheduler: {
+            constants.scheduler_type: constants.reduce_on_plateau,
+            constants.lr_min: 1e-3,
+            constants.reduce_factor: 0.9,
+            constants.patience: 100,
+            constants.threshold: 1e-3,
+            constants.cooldown: 20,
+        },
+        constants.constraints: {
+            constants.rho_flux_integral: 1.0,
+            constants.rho_local_flux: 1.0,
+            constants.rho_intercept: 1.0,
+            constants.max_flux_density: 1000000,
+        },
+    }
+
+
+def test_aim_point_optimizer_shapes_flux():
+    if not SCENARIO.exists():
+        pytest.skip("reference scenario data not available")
+    resolution = (64, 64)
+    scenario = load_scenario_from_hdf5(
+        SCENARIO, number_of_surface_points_per_facet=(8, 8)
+    )
+    # Trapezoid target distribution on the receiver (the reference's
+    # examples drive the optimizer with exactly this shape).
+    horizontal = np.asarray(trapezoid_distribution(resolution[0], 10, 20))
+    vertical = np.asarray(trapezoid_distribution(resolution[1], 10, 20))
+    ground_truth = np.outer(vertical, horizontal)
+
+    optimizer = AimPointOptimizer(
+        scenario=scenario,
+        optimization_configuration=_configuration(),
+        incident_ray_direction=[0.0, 1.0, 0.0, 0.0],
+        target_area_index=0,
+        ground_truth=ground_truth,
+        dni=800,
+        bitmap_resolution=resolution,
+    )
+    final_loss, history, intercepts, on_targets, blockings = optimizer.optimize(
+        "kl_divergence"
+    )
+
+    assert len(history["total_loss"]) >= 2
+    # The landscape is bumpy at this lr; assert the optimizer made progress
+    # at some point (the reference's own test relies on golden tensors, not
+    # monotonic decrease).
+    assert min(history["total_loss"][1:]) < history["total_loss"][0]
+    assert len(history["flux_integral_constraint"]) == len(history["total_loss"])
+    total_heliostats = sum(
+        g.number_of_heliostats for g in scenario.heliostat_groups
+    )
+    assert intercepts.shape == (total_heliostats,)
+    assert np.isfinite(final_loss)
+
+    for g, group in enumerate(scenario.heliostat_groups):
+        motors = np.asarray(group.motor_positions)
+        initial = np.asarray(optimizer.initial_motor_positions_all_groups[g])
+        scale = np.asarray(optimizer.scales_all_groups[g])
+        # Motors moved away from their pre-aligned values...
+        assert not np.allclose(motors, initial)
+        # ...but the tanh reparameterization bounds each motor's excursion
+        # by its scale = clamp(min margin to the limits, >= 1).
+        assert (np.abs(motors - initial) <= scale + 1e-3).all()
