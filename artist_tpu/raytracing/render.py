@@ -42,6 +42,10 @@ class RenderConfig:
     ray_chunk: int | None = None  # chunk size along the ray axis (None = all)
     splat_method: str = "scatter"
     blocking_active: bool = False
+    # Rematerialize each ray chunk in the backward pass instead of storing
+    # its residuals: trades recompute FLOPs for O(chunk) instead of O(rays)
+    # activation memory - the standard TPU HBM trade for scan bodies.
+    remat_chunks: bool = True
 
 
 def trace_rays(
@@ -190,9 +194,13 @@ def trace_rays(
         du = distortions_u.reshape(num_active, num_chunks, chunk, num_points)
         de = distortions_e.reshape(num_active, num_chunks, chunk, num_points)
 
+        chunk_fn = (
+            jax.checkpoint(trace_chunk) if config.remat_chunks else trace_chunk
+        )
+
         def body(carry, chunk_slices):
             du_c, de_c = chunk_slices
-            partial = trace_chunk(du_c, de_c)
+            partial = chunk_fn(du_c, de_c)
             return jax.tree.map(jnp.add, carry, partial), None
 
         init = (

@@ -1,0 +1,236 @@
+"""Benchmark: rays/s/chip (forward + backward) on a 100-heliostat field.
+
+Prints ONE JSON line:
+    {"metric": "rays_per_second_fwd_bwd", "value": N, "unit": "rays/s",
+     "vs_baseline": R}
+
+The workload is the flagship differentiable render step (align -> scatter ->
+intersect -> splat -> KL loss -> gradient w.r.t. NURBS control points) on a
+synthetic 100-heliostat field at the reference's production scale (50x50
+surface points/facet, 256x256 bitmap; reference:
+examples/field_optimizations/config.yaml:22-40).
+
+``vs_baseline`` compares against the torch reference running the SAME
+physics on this host's CPU (the only hardware the reference supports here),
+measured on a reduced configuration and normalized to rays/s.
+Set BENCH_SKIP_BASELINE=1 to skip the torch measurement (reports 0.0).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Honor an explicit CPU request (CI/smoke); default runs on the real TPU.
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_HELIOSTATS = int(os.environ.get("BENCH_HELIOSTATS", 100))
+NUM_RAYS = int(os.environ.get("BENCH_RAYS", 32))
+SURFACE_POINTS = (50, 50)  # per facet, x4 facets
+RAY_CHUNK = int(os.environ.get("BENCH_RAY_CHUNK", 4))
+BITMAP = (256, 256)
+STEPS = int(os.environ.get("BENCH_STEPS", 5))
+
+
+def bench_tpu() -> float:
+    from artist_tpu.field import heliostat_group as hg
+    from artist_tpu.field.solar_tower import get_centers_of_target_areas
+    from artist_tpu.optim import losses
+    from artist_tpu.raytracing import RenderConfig, trace_rays
+    from artist_tpu.scenario.synthetic import make_synthetic_scenario
+
+    scenario = make_synthetic_scenario(
+        number_of_heliostats=NUM_HELIOSTATS,
+        number_of_surface_points_per_facet=SURFACE_POINTS,
+        number_of_rays=NUM_RAYS,
+    )
+    group = scenario.heliostat_groups[0]
+    tower = scenario.solar_tower
+    num = group.number_of_heliostats
+    num_points = group.surface_points.shape[1]
+
+    active_indices = jnp.arange(num, dtype=jnp.int32)
+    target_indices = jnp.zeros(num, dtype=jnp.int32)
+    incident = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0, 0.0], jnp.float32), (num, 4)
+    )
+    aim_points = get_centers_of_target_areas(tower, target_indices)
+    distortions_u, distortions_e = scenario.light_sources[0].get_distortions(
+        jax.random.PRNGKey(7), num_points, num
+    )
+    ground_truth = jnp.ones((num, BITMAP[1], BITMAP[0]), jnp.float32)
+    config = RenderConfig(bitmap_resolution=BITMAP, ray_chunk=RAY_CHUNK)
+
+    # Pre-align once (the hot loop of surface reconstruction re-aligns too,
+    # but alignment cost is negligible next to the ray trace; keeping it in
+    # the differentiated function matches the production step).
+    def loss_fn(control_points):
+        from artist_tpu.nurbs import (
+            create_nurbs_evaluation_grid,
+            evaluate_nurbs_surfaces,
+        )
+
+        active = hg.gather_active(
+            group.replace(nurbs_control_points=control_points), active_indices
+        )
+        points, normals = evaluate_nurbs_surfaces(
+            active.nurbs_control_points,
+            group.nurbs_degrees,
+            create_nurbs_evaluation_grid(SURFACE_POINTS),
+            canting=active.canting,
+            facet_translations=active.facet_translations,
+        )
+        active = active.replace(
+            surface_points=points.reshape(num, -1, 4),
+            surface_normals=normals.reshape(num, -1, 4),
+        )
+        aligned_points, aligned_normals, _, _ = (
+            hg.align_surfaces_with_incident_ray_directions(
+                active, aim_points, incident
+            )
+        )
+        flux, _, _, _ = trace_rays(
+            tower=tower,
+            aligned_surface_points=aligned_points,
+            aligned_surface_normals=aligned_normals,
+            incident_ray_directions=incident,
+            target_area_indices=target_indices,
+            distortions_u=distortions_u,
+            distortions_e=distortions_e,
+            config=config,
+        )
+        return jnp.mean(losses.kl_divergence_loss(flux, ground_truth))
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    control_points = group.nurbs_control_points
+
+    # Warmup (compile).
+    loss, grads = step(control_points)
+    jax.block_until_ready((loss, grads))
+
+    start = time.perf_counter()
+    for _ in range(STEPS):
+        loss, grads = step(control_points)
+    jax.block_until_ready((loss, grads))
+    elapsed = (time.perf_counter() - start) / STEPS
+
+    rays = num * NUM_RAYS * num_points
+    return rays / elapsed
+
+
+def bench_torch_reference() -> float:
+    """The torch reference's fwd+bwd rays/s on this host (CPU), reduced size."""
+    sys.path[:0] = [
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "_shims"),
+        "/root/reference",
+    ]
+    import pathlib
+
+    import h5py
+    import torch
+
+    import artist.io  # noqa: F401  (breaks the reference's import cycle)
+    from artist.raytracing import HeliostatRayTracer
+    from artist.scenario import Scenario
+
+    scenario_path = pathlib.Path(
+        "/root/reference/tests/data/scenarios/test_scenario_paint_four_heliostats.h5"
+    )
+    if not scenario_path.exists():
+        return 0.0
+    points = (25, 25)
+    with h5py.File(scenario_path) as f:
+        scenario = Scenario.load_scenario_from_hdf5(
+            scenario_file=f,
+            number_of_surface_points_per_facet=torch.tensor(list(points)),
+            device=torch.device("cpu"),
+        )
+    rays_per_second = []
+    for group in scenario.heliostat_field.heliostat_groups:
+        num = group.number_of_heliostats
+        mask = torch.ones(num, dtype=torch.int32)
+        group.activate_heliostats(active_heliostats_mask=mask, device=torch.device("cpu"))
+        targets = torch.zeros(num, dtype=torch.int64)
+        aim = scenario.solar_tower.get_centers_of_target_areas(
+            target_area_indices=targets, device=torch.device("cpu")
+        )
+        incident = torch.tensor([[0.0, 1.0, 0.0, 0.0]]).repeat(num, 1)
+        group.nurbs_control_points.requires_grad_()
+        group.align_surfaces_with_incident_ray_directions(
+            aim_points=aim,
+            incident_ray_directions=incident,
+            active_heliostats_mask=mask,
+            device=torch.device("cpu"),
+        )
+        tracer = HeliostatRayTracer(
+            scenario=scenario,
+            heliostat_group=group,
+            blocking_active=False,
+            bitmap_resolution=torch.tensor([256, 256]),
+        )
+        num_rays = tracer.distortions_dataset.distortions_u.shape[1]
+        num_points = group.active_surface_points.shape[1]
+
+        def step():
+            group.activate_heliostats(
+                active_heliostats_mask=mask, device=torch.device("cpu")
+            )
+            group.align_surfaces_with_incident_ray_directions(
+                aim_points=aim,
+                incident_ray_directions=incident,
+                active_heliostats_mask=mask,
+                device=torch.device("cpu"),
+            )
+            flux, _, _, _ = tracer.trace_rays(
+                incident_ray_directions=incident,
+                active_heliostats_mask=mask,
+                target_area_indices=targets,
+                device=torch.device("cpu"),
+            )
+            loss = flux.mean()
+            loss.backward()
+
+        step()  # warmup
+        start = time.perf_counter()
+        step()
+        elapsed = time.perf_counter() - start
+        rays_per_second.append(num * num_rays * num_points / elapsed)
+    return float(np.mean(rays_per_second)) if rays_per_second else 0.0
+
+
+def main() -> None:
+    tpu_rays_per_second = bench_tpu()
+    if os.environ.get("BENCH_SKIP_BASELINE") == "1":
+        baseline = 0.0
+    else:
+        try:
+            baseline = bench_torch_reference()
+        except Exception as error:  # noqa: BLE001 - baseline is best-effort
+            print(f"baseline measurement failed: {error}", file=sys.stderr)
+            baseline = 0.0
+    vs_baseline = tpu_rays_per_second / baseline if baseline > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_second_fwd_bwd",
+                "value": round(tpu_rays_per_second, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
