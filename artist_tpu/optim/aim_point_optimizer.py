@@ -259,9 +259,15 @@ class AimPointOptimizer:
                 (self.bitmap_resolution[1], self.bitmap_resolution[0]),
                 dtype=jnp.float32,
             )
+            group_offsets = np.concatenate(
+                [[0], np.cumsum([g.number_of_heliostats for g in groups])[:-1]]
+            )
             intercepts, on_targets, blockings = [], [], []
             for g, group in enumerate(groups):
                 points, normals = aligned[g]
+                primitive_indices = jnp.arange(
+                    group.number_of_heliostats, dtype=jnp.int32
+                ) + int(group_offsets[g])
                 flux, intercept, on_target, blocking = trace_rays(
                     tower=tower,
                     aligned_surface_points=points,
@@ -272,6 +278,7 @@ class AimPointOptimizer:
                     distortions_e=distortions[g][1],
                     ray_magnitude=ray_magnitudes[g],
                     blocking_primitives=primitives,
+                    ray_primitive_indices=primitive_indices,
                     config=render_config,
                 )
                 total_flux = total_flux + get_bitmaps_per_target(

@@ -68,6 +68,54 @@ def create_blocking_primitives_rectangles_by_index(
     return corners, spans, normals
 
 
+def _global_primitive_cull(
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    blocking_primitives_corners: jnp.ndarray,
+    intersection_distances_target: jnp.ndarray,
+    ray_primitive_indices: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Non-differentiable candidate cull with the reference's LBVH semantics.
+
+    A primitive stays when at least one ray (not originating from that
+    primitive's own heliostat) enters its AABB before reaching its target
+    hit (reference: artist/raytracing/blocking.py:912-943: ``mask_hit`` and
+    the non-self marking). The reference computes this via per-ray LBVH
+    traversal; fields have at most a few thousand primitives so the dense
+    [rays x primitives] slab test vectorizes better on the TPU (SURVEY.md
+    section 7) and yields the identical keep set.
+
+    Returns
+    -------
+    jnp.ndarray
+        Boolean keep flags. Shape ``[B]``.
+    """
+    aabb_min = jnp.min(blocking_primitives_corners[:, :, :3], axis=1)  # [B, 3]
+    aabb_max = jnp.max(blocking_primitives_corners[:, :, :3], axis=1)
+
+    origins = ray_origins[:, None, :, None, :3]  # [M, 1, P, 1, 3]
+    directions = ray_directions[:, :, :, None, :3]  # [M, R, P, 1, 3]
+    inverse_directions = 1.0 / (directions + 1e-12)
+
+    t_low = (aabb_min[None, None, None] - origins) * inverse_directions
+    t_high = (aabb_max[None, None, None] - origins) * inverse_directions
+    entry = jnp.max(jnp.minimum(t_low, t_high), axis=-1)  # [M, R, P, B]
+    exit_ = jnp.min(jnp.maximum(t_low, t_high), axis=-1)
+
+    hit = (
+        (exit_ >= entry)
+        & (exit_ > 1e-6)
+        & (entry <= intersection_distances_target[..., None])
+    )
+    if ray_primitive_indices is not None:
+        own = (
+            ray_primitive_indices[:, None, None, None]
+            == jnp.arange(aabb_min.shape[0])[None, None, None, :]
+        )
+        hit = hit & ~own
+    return jnp.any(hit, axis=(0, 1, 2))  # [B]
+
+
 def soft_ray_blocking_mask(
     ray_origins: jnp.ndarray,
     ray_directions: jnp.ndarray,
@@ -75,6 +123,7 @@ def soft_ray_blocking_mask(
     blocking_primitives_spans: jnp.ndarray,
     blocking_primitives_normals: jnp.ndarray,
     intersection_distances_target: jnp.ndarray | None = None,
+    ray_primitive_indices: jnp.ndarray | None = None,
     epsilon: float = 1e-12,
     softness: float = 1000.0,
     alpha: float = 100.0,
@@ -97,11 +146,13 @@ def soft_ray_blocking_mask(
     blocking_primitives_* : jnp.ndarray
         ``[B, 4, 4]`` corners, ``[B, 2, 4]`` spans, ``[B, 4]`` normals.
     intersection_distances_target : jnp.ndarray | None
-        Per-ray distance to the target hit, ``[M, R, P]``. When given,
-        blockers farther along the ray than the target are hard-masked out
-        (the LBVH cull's distance semantics,
-        reference: artist/raytracing/blocking.py:92-101); the gate is
+        Per-ray distance to the target hit, ``[M, R, P]``. When given, the
+        global AABB candidate cull reproduces the LBVH filter's semantics
+        (reference: artist/raytracing/blocking.py:831-995); the gate is
         non-differentiable like the reference's no-grad cull.
+    ray_primitive_indices : jnp.ndarray | None
+        Global primitive index owned by each ray-emitting heliostat,
+        ``[M]``; used for the cull's non-self marking.
 
     Returns
     -------
@@ -149,12 +200,16 @@ def soft_ray_blocking_mask(
     sigma = jnp.clip(inside_u * inside_v * in_front, 0.0, 1.0)
 
     if intersection_distances_target is not None:
-        # Hard cull (matches the LBVH's non-differentiable distance filter):
-        # a blocker farther than the target hit cannot block the ray.
-        behind_target = jax.lax.stop_gradient(
-            distances > intersection_distances_target[..., None]
+        keep = jax.lax.stop_gradient(
+            _global_primitive_cull(
+                ray_origins,
+                ray_directions,
+                blocking_primitives_corners,
+                intersection_distances_target,
+                ray_primitive_indices,
+            )
         )
-        sigma = jnp.where(behind_target, 0.0, sigma)
+        sigma = sigma * keep[None, None, None, :]
 
     optical_depth = alpha * jnp.sum(sigma, axis=-1)
     return 1.0 - jnp.exp(-optical_depth)

@@ -58,6 +58,7 @@ def trace_rays(
     distortions_e: jnp.ndarray,
     ray_magnitude: float | jnp.ndarray = 1.0,
     blocking_primitives: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    ray_primitive_indices: jnp.ndarray | None = None,
     config: RenderConfig = RenderConfig(),
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Trace heliostat rays onto tower targets and splat flux bitmaps.
@@ -81,6 +82,9 @@ def trace_rays(
     blocking_primitives : tuple | None
         (corners [B, 4, 4], spans [B, 2, 4], normals [B, 4]) of potential
         blockers; required when ``config.blocking_active``.
+    ray_primitive_indices : jnp.ndarray | None
+        Global primitive index owned by each active heliostat ``[M]``
+        (non-self marking in the blocking candidate cull).
     config : RenderConfig
         Static options.
 
@@ -156,6 +160,7 @@ def trace_rays(
                 blocking_primitives_spans=spans,
                 blocking_primitives_normals=normals,
                 intersection_distances_target=distances,
+                ray_primitive_indices=ray_primitive_indices,
             )
         else:
             blocked = jnp.zeros_like(intensities)

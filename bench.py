@@ -116,14 +116,21 @@ def bench_tpu() -> float:
     control_points = group.nurbs_control_points
 
     # Warmup (compile).
+    compile_start = time.perf_counter()
     loss, grads = step(control_points)
     jax.block_until_ready((loss, grads))
+    print(
+        f"compile+first step: {time.perf_counter() - compile_start:.1f}s "
+        f"(loss {float(loss):.4f})",
+        file=sys.stderr,
+    )
 
     start = time.perf_counter()
     for _ in range(STEPS):
         loss, grads = step(control_points)
     jax.block_until_ready((loss, grads))
     elapsed = (time.perf_counter() - start) / STEPS
+    print(f"step time: {elapsed:.3f}s", file=sys.stderr)
 
     rays = num * NUM_RAYS * num_points
     return rays / elapsed
