@@ -37,7 +37,8 @@ import numpy as np
 
 NUM_HELIOSTATS = int(os.environ.get("BENCH_HELIOSTATS", 100))
 NUM_RAYS = int(os.environ.get("BENCH_RAYS", 32))
-SURFACE_POINTS = (50, 50)  # per facet, x4 facets
+_SP = int(os.environ.get("BENCH_SURFACE_POINTS", 50))
+SURFACE_POINTS = (_SP, _SP)  # per facet, x4 facets
 RAY_CHUNK = int(os.environ.get("BENCH_RAY_CHUNK", 4))
 BITMAP = (256, 256)
 STEPS = int(os.environ.get("BENCH_STEPS", 5))
