@@ -40,7 +40,7 @@ class RenderConfig:
     mirror_reflectivity: float = DEFAULT_MIRROR_REFLECTIVITY
     ray_extinction_factor: float = 0.0
     ray_chunk: int | None = None  # chunk size along the ray axis (None = all)
-    splat_method: str = "scatter"
+    splat_method: str = "auto"  # pallas on TPU, XLA scatter on CPU
     blocking_active: bool = False
     # Rematerialize each ray chunk in the backward pass instead of storing
     # its residuals: trades recompute FLOPs for O(chunk) instead of O(rays)

@@ -44,7 +44,8 @@ def bilinear_splat(
     flip_up_down : bool
         Flip the row axis so the image origin is bottom-left (default True).
     method : str
-        "scatter" (XLA scatter-add baseline) - more backends to come.
+        "auto" (Pallas outer-product kernel on TPU, XLA scatter elsewhere),
+        "pallas", or "scatter".
 
     Returns
     -------
@@ -57,6 +58,16 @@ def bilinear_splat(
     e = bitmap_coordinates_e.reshape(num_heliostats, -1)
     u = bitmap_coordinates_u.reshape(num_heliostats, -1)
     w = intensities.reshape(num_heliostats, -1)
+
+    if method == "auto":
+        method = "pallas" if jax.default_backend() != "cpu" else "scatter"
+    if method == "pallas":
+        from artist_tpu.kernels.splat_pallas import bilinear_splat_pallas
+
+        bitmaps = bilinear_splat_pallas(e, u, w, (width, height))
+        if flip_up_down:
+            bitmaps = jnp.flip(bitmaps, axis=1)
+        return bitmaps
 
     low_e = jnp.floor(e).astype(jnp.int32)
     low_u = jnp.floor(u).astype(jnp.int32)

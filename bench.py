@@ -44,6 +44,22 @@ BITMAP = (256, 256)
 STEPS = int(os.environ.get("BENCH_STEPS", 5))
 
 
+def _warm_remote_compiler() -> None:
+    """Pay the remote compile service's one-time spin-up (~minutes) on a
+    small program so the big step's compile time is its own."""
+    import jax.numpy as jnp
+
+    from artist_tpu.nurbs import create_nurbs_evaluation_grid, evaluate_nurbs_surfaces
+
+    jax.block_until_ready(
+        jax.jit(
+            lambda c: evaluate_nurbs_surfaces(
+                c, (3, 3), create_nurbs_evaluation_grid((4, 4))
+            )
+        )(jnp.ones((1, 4, 7, 7, 3)))
+    )
+
+
 def bench_tpu() -> float:
     from artist_tpu.field import heliostat_group as hg
     from artist_tpu.field.solar_tower import get_centers_of_target_areas
@@ -218,6 +234,7 @@ def bench_torch_reference() -> float:
 
 
 def main() -> None:
+    _warm_remote_compiler()
     tpu_rays_per_second = bench_tpu()
     if os.environ.get("BENCH_SKIP_BASELINE") == "1":
         baseline = 0.0

@@ -84,7 +84,7 @@ def test_surface_reconstructor_decreases_loss(loss_name, scheduler):
     )
     # The cyclic schedule starts at lr_min; a short ramp makes 10 epochs
     # enough to observe a loss decrease.
-    max_epoch, step_size_up = (10, 4) if scheduler == constants.cyclic else (6, 500)
+    max_epoch, step_size_up = (12, 4) if scheduler == constants.cyclic else (6, 500)
     originals = [
         np.asarray(g.nurbs_control_points).copy() for g in scenario.heliostat_groups
     ]
