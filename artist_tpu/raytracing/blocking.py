@@ -25,6 +25,66 @@ import jax.numpy as jnp
 from artist_tpu.geometry.transforms import _normalize
 
 
+def create_blocking_primitives_rectangle(
+    surface_points: jnp.ndarray,
+    active_surface_points: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reduce each heliostat to a rectangle by nearest-corner search.
+
+    Corner indices come from the UNALIGNED surface points (heliostats at
+    rest lie flat, so the bounding rectangle lives in the EN plane); corner
+    positions are then read from the ALIGNED points. Corner order is
+    counter-clockwise from the lower left: ``(min_e,min_n)``, ``(min_e,max_n)``,
+    ``(max_e,max_n)``, ``(max_e,min_n)``.
+    reference: artist/raytracing/blocking.py:13-120.
+
+    Parameters
+    ----------
+    surface_points : jnp.ndarray
+        Unaligned (flat) surface points. Shape ``[H, P, 4]``.
+    active_surface_points : jnp.ndarray
+        Aligned surface points. Shape ``[H, P, 4]``.
+
+    Returns
+    -------
+    tuple of jnp.ndarray
+        corners ``[H, 4, 4]``, spans ``[H, 2, 4]`` (u = c1 - c0,
+        v = c3 - c0), unit normals ``[H, 4]``.
+    """
+    min_e = jnp.min(surface_points[:, :, 0], axis=1)
+    max_e = jnp.max(surface_points[:, :, 0], axis=1)
+    min_n = jnp.min(surface_points[:, :, 1], axis=1)
+    max_n = jnp.max(surface_points[:, :, 1], axis=1)
+
+    expected_corners = jnp.stack(
+        [
+            jnp.stack([min_e, min_n], axis=1),
+            jnp.stack([min_e, max_n], axis=1),
+            jnp.stack([max_e, max_n], axis=1),
+            jnp.stack([max_e, min_n], axis=1),
+        ],
+        axis=1,
+    )  # [H, 4, 2]
+
+    distances = jnp.linalg.norm(
+        surface_points[:, :, None, :2] - expected_corners[:, None, :, :], axis=-1
+    )  # [H, P, 4]
+    corner_indices = jnp.argmin(distances, axis=1)  # [H, 4]
+    corners = jnp.take_along_axis(
+        active_surface_points, corner_indices[..., None], axis=1
+    )  # [H, 4, 4]
+
+    spans = jnp.stack(
+        [corners[:, 1] - corners[:, 0], corners[:, 3] - corners[:, 0]], axis=1
+    )
+    normals3 = _normalize(jnp.cross(spans[:, 0, :3], spans[:, 1, :3]))
+    normals = jnp.concatenate(
+        [normals3, jnp.zeros((surface_points.shape[0], 1), surface_points.dtype)],
+        axis=-1,
+    )
+    return corners, spans, normals
+
+
 def create_blocking_primitives_rectangles_by_index(
     surface_points: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -128,6 +188,7 @@ def soft_ray_blocking_mask(
     softness: float = 1000.0,
     alpha: float = 100.0,
     ray_origin_offset: float = 0.05,
+    cull_method: str = "dense",
 ) -> jnp.ndarray:
     """Soft differentiable blocking mask with Beer-Lambert accumulation.
 
@@ -153,6 +214,11 @@ def soft_ray_blocking_mask(
     ray_primitive_indices : jnp.ndarray | None
         Global primitive index owned by each ray-emitting heliostat,
         ``[M]``; used for the cull's non-self marking.
+    cull_method : str
+        ``"dense"`` (default): vectorized ray x primitive slab test -
+        fastest for fields up to thousands of primitives. ``"lbvh"``: the
+        Karras radix-tree traversal from :mod:`artist_tpu.raytracing.lbvh`
+        (identical keep-set; wins only for very large fields).
 
     Returns
     -------
@@ -200,15 +266,30 @@ def soft_ray_blocking_mask(
     sigma = jnp.clip(inside_u * inside_v * in_front, 0.0, 1.0)
 
     if intersection_distances_target is not None:
-        keep = jax.lax.stop_gradient(
-            _global_primitive_cull(
-                ray_origins,
-                ray_directions,
-                blocking_primitives_corners,
-                intersection_distances_target,
-                ray_primitive_indices,
+        if cull_method == "lbvh":
+            from artist_tpu.raytracing.lbvh import lbvh_filter_blocking_planes
+
+            keep = jax.lax.stop_gradient(
+                lbvh_filter_blocking_planes(
+                    ray_origins,
+                    ray_directions,
+                    blocking_primitives_corners,
+                    ray_primitive_indices
+                    if ray_primitive_indices is not None
+                    else jnp.full((ray_origins.shape[0],), -1, jnp.int32),
+                    intersection_distances_target,
+                )
             )
-        )
+        else:
+            keep = jax.lax.stop_gradient(
+                _global_primitive_cull(
+                    ray_origins,
+                    ray_directions,
+                    blocking_primitives_corners,
+                    intersection_distances_target,
+                    ray_primitive_indices,
+                )
+            )
         sigma = sigma * keep[None, None, None, :]
 
     optical_depth = alpha * jnp.sum(sigma, axis=-1)
