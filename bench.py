@@ -180,52 +180,68 @@ def bench_torch_reference() -> float:
             number_of_surface_points_per_facet=torch.tensor(list(points)),
             device=torch.device("cpu"),
         )
+    from artist.nurbs import NURBSSurfaces
+    from artist.nurbs.utils import create_nurbs_evaluation_grid
+
     rays_per_second = []
+    device = torch.device("cpu")
     for group in scenario.heliostat_field.heliostat_groups:
         num = group.number_of_heliostats
         mask = torch.ones(num, dtype=torch.int32)
-        group.activate_heliostats(active_heliostats_mask=mask, device=torch.device("cpu"))
         targets = torch.zeros(num, dtype=torch.int64)
         aim = scenario.solar_tower.get_centers_of_target_areas(
-            target_area_indices=targets, device=torch.device("cpu")
+            target_area_indices=targets, device=device
         )
         incident = torch.tensor([[0.0, 1.0, 0.0, 0.0]]).repeat(num, 1)
         group.nurbs_control_points.requires_grad_()
-        group.align_surfaces_with_incident_ray_directions(
-            aim_points=aim,
-            incident_ray_directions=incident,
-            active_heliostats_mask=mask,
-            device=torch.device("cpu"),
-        )
-        tracer = HeliostatRayTracer(
-            scenario=scenario,
-            heliostat_group=group,
-            blocking_active=False,
-            bitmap_resolution=torch.tensor([256, 256]),
-        )
-        num_rays = tracer.distortions_dataset.distortions_u.shape[1]
-        num_points = group.active_surface_points.shape[1]
+        evaluation_points = create_nurbs_evaluation_grid(
+            number_of_evaluation_points=torch.tensor(list(points)), device=device
+        )[None, None].expand(num, group.active_canting.shape[1], -1, -1)
 
+        # The same differentiated step as bench_tpu: NURBS rebuild -> sample
+        # -> align -> trace -> loss -> grad w.r.t. control points (the
+        # reference's surface-reconstruction hot loop,
+        # artist/optim/surface_reconstructor.py:476-591).
         def step():
-            group.activate_heliostats(
-                active_heliostats_mask=mask, device=torch.device("cpu")
+            group.activate_heliostats(active_heliostats_mask=mask, device=device)
+            nurbs = NURBSSurfaces(
+                degrees=group.nurbs_degrees,
+                control_points=group.active_nurbs_control_points,
+                device=device,
             )
+            new_points, new_normals = nurbs.calculate_surface_points_and_normals(
+                evaluation_points=evaluation_points,
+                canting=group.active_canting,
+                facet_translations=group.active_facet_translations,
+                device=device,
+            )
+            group.active_surface_points = new_points.reshape(num, -1, 4)
+            group.active_surface_normals = new_normals.reshape(num, -1, 4)
             group.align_surfaces_with_incident_ray_directions(
                 aim_points=aim,
                 incident_ray_directions=incident,
                 active_heliostats_mask=mask,
-                device=torch.device("cpu"),
+                device=device,
+            )
+            tracer = HeliostatRayTracer(
+                scenario=scenario,
+                heliostat_group=group,
+                blocking_active=False,
+                bitmap_resolution=torch.tensor([256, 256]),
             )
             flux, _, _, _ = tracer.trace_rays(
                 incident_ray_directions=incident,
                 active_heliostats_mask=mask,
                 target_area_indices=targets,
-                device=torch.device("cpu"),
+                device=device,
             )
             loss = flux.mean()
             loss.backward()
+            return tracer
 
-        step()  # warmup
+        tracer = step()  # warmup
+        num_rays = tracer.distortions_dataset.distortions_u.shape[1]
+        num_points = group.active_surface_points.shape[1]
         start = time.perf_counter()
         step()
         elapsed = time.perf_counter() - start
