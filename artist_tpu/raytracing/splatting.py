@@ -45,7 +45,8 @@ def bilinear_splat(
         Flip the row axis so the image origin is bottom-left (default True).
     method : str
         "auto" (Pallas outer-product kernel on TPU, XLA scatter elsewhere),
-        "pallas", or "scatter".
+        "pallas" (bf16 MXU inputs, fp32 accumulation - single-pass MXU),
+        "pallas_fp32" (bit-faithful, ~3x the MXU passes), or "scatter".
 
     Returns
     -------
@@ -61,10 +62,11 @@ def bilinear_splat(
 
     if method == "auto":
         method = "pallas" if jax.default_backend() != "cpu" else "scatter"
-    if method == "pallas":
+    if method in ("pallas", "pallas_fp32"):
         from artist_tpu.kernels.splat_pallas import bilinear_splat_pallas
 
-        bitmaps = bilinear_splat_pallas(e, u, w, (width, height))
+        compute_dtype = jnp.float32 if method == "pallas_fp32" else jnp.bfloat16
+        bitmaps = bilinear_splat_pallas(e, u, w, (width, height), compute_dtype)
         if flip_up_down:
             bitmaps = jnp.flip(bitmaps, axis=1)
         return bitmaps
