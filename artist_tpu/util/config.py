@@ -291,6 +291,14 @@ class PrototypeConfig:
         }
 
 
+# Prototype aliases: the reference exposes thin subclasses for scenario
+# prototypes (reference: artist/util/config.py:535-553 and the kinematics/
+# actuator analogues); the schema is identical to the parent classes.
+SurfacePrototypeConfig = SurfaceConfig
+KinematicsPrototypeConfig = KinematicsConfig
+ActuatorPrototypeConfig = ActuatorListConfig
+
+
 @dataclass
 class HeliostatConfig:
     """One heliostat: position + optional individual surface/kinematics/actuators."""
