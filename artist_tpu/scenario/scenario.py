@@ -217,11 +217,14 @@ def _load_solar_tower(scenario_file: h5py.File) -> SolarTower:
 
 def _load_light_sources(scenario_file: h5py.File) -> list[Sun]:
     """reference: artist/scene/light_source_array.py + artist/scene/sun.py:121-197."""
+    from artist_tpu.util.type_registry import light_source_type_mapping
+
     sources = []
     for name, group in scenario_file[constants.light_source_key].items():
         light_source_type = group[constants.light_source_type][()].decode("utf-8")
-        if light_source_type != constants.sun_key:
+        if light_source_type not in light_source_type_mapping:
             raise ValueError(f"Unknown light source type: {light_source_type}")
+        light_source_cls = light_source_type_mapping[light_source_type]
         params = {
             constants.light_source_distribution_type: group[
                 constants.light_source_distribution_parameters
@@ -237,7 +240,7 @@ def _load_light_sources(scenario_file: h5py.File) -> list[Sun]:
                 dist_group[constants.light_source_covariance][()]
             )
         sources.append(
-            Sun(
+            light_source_cls(
                 number_of_rays=int(group[constants.light_source_number_of_rays][()]),
                 distribution_parameters=params,
             )
