@@ -9,6 +9,7 @@ optionally wraps phases in ``jax.profiler`` trace annotations.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import logging
 import time
@@ -87,6 +88,27 @@ def set_runtime_logger(
     runtime_log.addHandler(handler)
     runtime_log.propagate = False
     _RUNTIME_HANDLER_SET = True
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str | Path):
+    """Capture a device profile (XPlane/TensorBoard) around a phase.
+
+    TPU-native upgrade of the reference's wall-clock-only runtime tracker
+    (reference: artist/util/__init__.py:141-210): wraps
+    ``jax.profiler.trace`` so optimizer phases produce inspectable traces.
+
+    Usage::
+
+        with profile_trace("/tmp/profile"):
+            reconstructor.reconstruct_surfaces(...)
+    """
+    import jax.profiler
+
+    runtime_log.info("profile trace started: %s", log_dir)
+    with jax.profiler.trace(str(log_dir)):
+        yield
+    runtime_log.info("profile trace written: %s", log_dir)
 
 
 def track_runtime(function: F) -> F:
