@@ -7,7 +7,6 @@ bilinear resample - same align_corners=True semantics and zero padding.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from artist_tpu.field.solar_tower import SolarTower

@@ -18,7 +18,6 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from artist_tpu.field.heliostat_group import HeliostatGroupState
 from artist_tpu.scenario.scenario import Scenario
 
 log = logging.getLogger("artist_tpu.io")

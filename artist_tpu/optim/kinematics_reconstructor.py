@@ -31,7 +31,6 @@ import optax
 
 from artist_tpu.field import heliostat_group as hg
 from artist_tpu.field import kinematics_rigid_body as rigid_body
-from artist_tpu.field.solar_tower import get_centers_of_target_areas
 from artist_tpu.flux.bitmap import get_center_of_mass
 from artist_tpu.geometry.coordinates import bitmap_coordinates_to_target_coordinates
 from artist_tpu.geometry.transforms import _normalize
