@@ -228,10 +228,17 @@ class AimPointOptimizer:
         )
         number_of_target_areas = tower.number_of_target_areas
 
-        def forward(group_params):
+        # Big scene arrays (group state, distortion tensors) enter the jitted
+        # steps as ARGUMENTS: closure-captured concrete arrays are inlined
+        # into the HLO as literal constants, bloating compiles.
+        scene = {"groups": tuple(groups), "distortions": distortions}
+
+        def forward(group_params, scene):
             """Align all groups, trace with blocking, accumulate target flux."""
+            groups_ = scene["groups"]
+            distortions_ = scene["distortions"]
             aligned = []
-            for g, group in enumerate(groups):
+            for g, group in enumerate(groups_):
                 motor = initial_motor_positions[g] + jnp.tanh(
                     group_params[g]
                 ) * scales[g]
@@ -260,10 +267,10 @@ class AimPointOptimizer:
                 dtype=jnp.float32,
             )
             group_offsets = np.concatenate(
-                [[0], np.cumsum([g.number_of_heliostats for g in groups])[:-1]]
+                [[0], np.cumsum([g.number_of_heliostats for g in groups_])[:-1]]
             )
             intercepts, on_targets, blockings = [], [], []
-            for g, group in enumerate(groups):
+            for g, group in enumerate(groups_):
                 points, normals = aligned[g]
                 primitive_indices = jnp.arange(
                     group.number_of_heliostats, dtype=jnp.int32
@@ -274,8 +281,8 @@ class AimPointOptimizer:
                     aligned_surface_normals=normals,
                     incident_ray_directions=incident_dirs[g],
                     target_area_indices=target_indices[g],
-                    distortions_u=distortions[g][0],
-                    distortions_e=distortions[g][1],
+                    distortions_u=distortions_[g][0],
+                    distortions_e=distortions_[g][1],
                     ray_magnitude=ray_magnitudes[g],
                     blocking_primitives=primitives,
                     ray_primitive_indices=primitive_indices,
@@ -305,8 +312,10 @@ class AimPointOptimizer:
                 f"Unknown loss for aim point optimization: {loss_definition}"
             )
 
-        def loss_fn(group_params, references, lambdas):
-            total_flux, intercepts, on_targets, blockings = forward(group_params)
+        def loss_fn(group_params, scene, references, lambdas):
+            total_flux, intercepts, on_targets, blockings = forward(
+                group_params, scene
+            )
             flux_loss = flux_loss_fn(total_flux)
             aux = {
                 "flux_loss": flux_loss,
@@ -385,9 +394,11 @@ class AimPointOptimizer:
         )
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(group_params, opt_state, references, lambdas, learning_rate):
+        def train_step(
+            group_params, opt_state, scene, references, lambdas, learning_rate
+        ):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                group_params, references, lambdas
+                group_params, scene, references, lambdas
             )
             updates, opt_state = optimizer.update(
                 grads, opt_state, group_params, learning_rate=learning_rate
@@ -420,7 +431,7 @@ class AimPointOptimizer:
 
         # Epoch-0 references (the reference captures them in its first epoch,
         # where all constraint terms evaluate to exactly zero).
-        init_flux, init_intercepts, _, _ = jax.jit(forward)(params)
+        init_flux, init_intercepts, _, _ = jax.jit(forward)(params, scene)
         references = (
             jax.lax.stop_gradient(jnp.sum(init_flux)),
             jax.lax.stop_gradient(init_intercepts),
@@ -460,7 +471,12 @@ class AimPointOptimizer:
             else:
                 learning_rate = float(scheduler(epoch))
             params, opt_state, lambdas, loss_j, aux = train_step(
-                params, opt_state, references, lambdas, jnp.float32(learning_rate)
+                params,
+                opt_state,
+                scene,
+                references,
+                lambdas,
+                jnp.float32(learning_rate),
             )
             loss_value = float(loss_j)
             if isinstance(scheduler, training.ReduceOnPlateau):

@@ -183,7 +183,7 @@ class KinematicsReconstructor:
     ):
         if self.reconstruction_method == constants.kinematics_reconstruction_raytracing:
 
-            def loss_fn(rotation_deviations, batch, num_samples):
+            def loss_fn(rotation_deviations, group, batch, num_samples):
                 flux = self._trace_flux(group, rotation_deviations, batch)
                 per_sample = self._flux_loss_per_sample(loss_name, flux, batch)
                 per_heliostat = losses.reduce_loss_per_sample(
@@ -193,7 +193,7 @@ class KinematicsReconstructor:
 
         else:
 
-            def loss_fn(rotation_deviations, batch, num_samples):
+            def loss_fn(rotation_deviations, group, batch, num_samples):
                 active = hg.gather_active(
                     group.replace(rotation_deviations=rotation_deviations),
                     batch["active_indices"],
@@ -231,10 +231,12 @@ class KinematicsReconstructor:
                 return jnp.mean(per_heliostat), per_heliostat
 
         @partial(jax.jit, static_argnames=("num_samples",), donate_argnums=(0, 1))
-        def train_step(rotation_deviations, opt_state, batch, learning_rate, num_samples):
+        def train_step(
+            rotation_deviations, opt_state, group, batch, learning_rate, num_samples
+        ):
             (loss_value, per_heliostat), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(rotation_deviations, batch, num_samples)
+            )(rotation_deviations, group, batch, num_samples)
             # NaN-gradient scrubbing (reference: kinematics_reconstructor.py:822-826).
             grads = jnp.nan_to_num(grads, nan=0.0, posinf=0.0, neginf=0.0)
             updates, opt_state = optimizer.update(
@@ -251,7 +253,7 @@ class KinematicsReconstructor:
         )
 
         @partial(jax.jit, static_argnames=("num_samples",))
-        def validate_step(rotation_deviations, batch, num_samples):
+        def validate_step(rotation_deviations, group, batch, num_samples):
             flux = self._trace_flux(group, rotation_deviations, batch)
             return {
                 "pixel_loss": losses.reduce_loss_per_sample(
@@ -470,6 +472,7 @@ class KinematicsReconstructor:
                 rotation_deviations, opt_state, loss_j, per_heliostat = train_step(
                     rotation_deviations,
                     opt_state,
+                    group,
                     train_batch,
                     jnp.float32(learning_rate),
                     split.number_of_train_samples,
@@ -485,6 +488,7 @@ class KinematicsReconstructor:
                         k: np.asarray(v)
                         for k, v in validate_step(
                             rotation_deviations,
+                            group,
                             test_batch,
                             split.number_of_test_samples,
                         ).items()

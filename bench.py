@@ -89,10 +89,10 @@ def bench_tpu() -> float:
     ground_truth = jnp.ones((num, BITMAP[1], BITMAP[0]), jnp.float32)
     config = RenderConfig(bitmap_resolution=BITMAP, ray_chunk=RAY_CHUNK)
 
-    # Pre-align once (the hot loop of surface reconstruction re-aligns too,
-    # but alignment cost is negligible next to the ray trace; keeping it in
-    # the differentiated function matches the production step).
-    def loss_fn(control_points):
+    # All large arrays (scene state, distortions, ground truth) enter as jit
+    # ARGUMENTS: closure-captured concrete arrays get inlined into the HLO as
+    # literal constants (measured: 512 MB of HLO text, 10-minute compiles).
+    def loss_fn(control_points, group, du, de, ground_truth):
         from artist_tpu.nurbs import (
             create_nurbs_evaluation_grid,
             evaluate_nurbs_surfaces,
@@ -123,8 +123,8 @@ def bench_tpu() -> float:
             aligned_surface_normals=aligned_normals,
             incident_ray_directions=incident,
             target_area_indices=target_indices,
-            distortions_u=distortions_u,
-            distortions_e=distortions_e,
+            distortions_u=du,
+            distortions_e=de,
             config=config,
         )
         return jnp.mean(losses.kl_divergence_loss(flux, ground_truth))
@@ -134,7 +134,7 @@ def bench_tpu() -> float:
 
     # Warmup (compile).
     compile_start = time.perf_counter()
-    loss, grads = step(control_points)
+    loss, grads = step(control_points, group, distortions_u, distortions_e, ground_truth)
     jax.block_until_ready((loss, grads))
     print(
         f"compile+first step: {time.perf_counter() - compile_start:.1f}s "
@@ -144,7 +144,9 @@ def bench_tpu() -> float:
 
     start = time.perf_counter()
     for _ in range(STEPS):
-        loss, grads = step(control_points)
+        loss, grads = step(
+            control_points, group, distortions_u, distortions_e, ground_truth
+        )
     jax.block_until_ready((loss, grads))
     elapsed = (time.perf_counter() - start) / STEPS
     print(f"step time: {elapsed:.3f}s", file=sys.stderr)
