@@ -3,10 +3,21 @@
 The bilinear splat of a ray batch is a sum of rank-1 outer products: ray b
 deposits ``w_b * a_b (x) c_b`` where ``a_b`` holds the two nonzero row
 weights (1-fu at lu, fu at lu+1) and ``c_b`` the two column weights. Summing
-over a block of rays is therefore ONE matmul ``A^T C`` with A = [B, H]
-(row weights scaled by w) and C = [B, W] - MXU work instead of the
-serialized XLA scatter-add (measured ~20x faster at production shapes on
-v5e). The one-hot factors are built in VMEM per block and never touch HBM.
+over a block of rays is therefore ONE matmul ``A^T C`` - MXU work instead of
+the serialized XLA scatter-add (measured 5.6x faster end-to-end on v5e at
+production shapes). The one-hot factors are built in VMEM per block and
+never touch HBM.
+
+Performance notes (measured on v5e, 32M rays, 256x256 bitmaps):
+- The row factor is built TRANSPOSED (``[H, B]``) so both matmul operands
+  are contraction-minor; building ``[B, H]`` and contracting dim 0 forces a
+  Mosaic relayout that doubles the forward time (182 -> 92 ms).
+- One-hot factors are built directly in bf16 (binary values are exact in
+  bf16; the fractional offsets and weights round at ~2^-8 relative, which
+  cancels in the thousands-of-rays-per-pixel sums) and feed the MXU in a
+  single pass. Accumulation stays fp32.
+- Forward blocks are 4096 rays; backward keeps 2048 (its ``g1/g2``
+  intermediates are fp32 and VMEM-bound).
 
 The backward pass is two more matmuls per block (``A0 @ g`` and
 ``Ad @ g``), wired up via ``jax.custom_vjp``.
@@ -18,13 +29,15 @@ reference semantics: artist/raytracing/heliostat_ray_tracer.py:610-778
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_BLOCK = 1024
+FWD_RAY_BLOCK = int(os.environ.get("ARTIST_SPLAT_FWD_RAY_BLOCK", 4096))
+BWD_RAY_BLOCK = int(os.environ.get("ARTIST_SPLAT_BWD_RAY_BLOCK", 2048))
 
 
 def _interpret() -> bool:
@@ -54,25 +67,6 @@ def _weights(e, u, w, height: int, width: int):
     )
 
 
-def _row_factors(lower_u, frac_u, block: int, height: int):
-    """A0 [B, H]: (1-fu) at lu, fu at lu+1;  Ad = dA0/du."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block, height), 1)
-    at_low = (rows == lower_u[:, None]).astype(jnp.float32)
-    at_high = (rows == lower_u[:, None] + 1).astype(jnp.float32)
-    a0 = at_low * (1.0 - frac_u)[:, None] + at_high * frac_u[:, None]
-    ad = at_high - at_low
-    return a0, ad
-
-
-def _col_factors(lower_e, frac_e, block: int, width: int):
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block, width), 1)
-    at_low = (cols == lower_e[:, None]).astype(jnp.float32)
-    at_high = (cols == lower_e[:, None] + 1).astype(jnp.float32)
-    c0 = at_low * (1.0 - frac_e)[:, None] + at_high * frac_e[:, None]
-    cd = at_high - at_low
-    return c0, cd
-
-
 def _splat_fwd_kernel(
     e_ref,
     u_ref,
@@ -89,23 +83,31 @@ def _splat_fwd_kernel(
     Inputs are flattened over (heliostat, ray); ``blocks_per_map``
     consecutive grid steps share one output bitmap (the grid's row-major
     order keeps the bitmap block resident in VMEM across them).
-
-    With ``compute_dtype=bfloat16`` the one-hot factors feed the MXU in a
-    single pass (fp32 inputs take the 3-pass bf16x3 decomposition). The
-    accumulator stays fp32. The binary one-hot entries are exact in bf16;
-    only the fractional offsets and weights round (~2^-8 relative), which
-    averages out over the thousands of rays summed per pixel.
     """
     block = e_ref.shape[0]
     lower_e, lower_u, frac_e, frac_u, w, _ = _weights(
         e_ref[:], u_ref[:], w_ref[:], height, width
     )
-    a0, _ = _row_factors(lower_u, frac_u, block, height)
-    c0, _ = _col_factors(lower_e, frac_e, block, width)
+    # Row factor built transposed [H, B]: both matmul operands become
+    # contraction-minor (no Mosaic relayout). Weights fold into the rows.
+    weight_high = (frac_u * w).astype(compute_dtype)
+    weight_low = ((1.0 - frac_u) * w).astype(compute_dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (height, block), 0)
+    at_low = (rows == lower_u[None, :]).astype(compute_dtype)
+    at_high = (rows == lower_u[None, :] + 1).astype(compute_dtype)
+    a0_t = at_low * weight_low[None, :] + at_high * weight_high[None, :]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, width), 1)
+    c_low = (cols == lower_e[:, None]).astype(compute_dtype)
+    c_high = (cols == lower_e[:, None] + 1).astype(compute_dtype)
+    c0 = c_low * (1.0 - frac_e)[:, None].astype(compute_dtype) + c_high * frac_e[
+        :, None
+    ].astype(compute_dtype)
+
     acc = jax.lax.dot_general(
-        (a0 * w[:, None]).astype(compute_dtype),
-        c0.astype(compute_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        a0_t,
+        c0,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [H, W]
 
@@ -135,21 +137,30 @@ def _splat_bwd_kernel(
     lower_e, lower_u, frac_e, frac_u, w, valid = _weights(
         e_ref[:], u_ref[:], w_ref[:], height, width
     )
-    a0, ad = _row_factors(lower_u, frac_u, block, height)
-    c0, cd = _col_factors(lower_e, frac_e, block, width)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, height), 1)
+    at_low = (rows == lower_u[:, None]).astype(compute_dtype)
+    at_high = (rows == lower_u[:, None] + 1).astype(compute_dtype)
+    a0 = at_low * (1.0 - frac_u)[:, None].astype(compute_dtype) + at_high * frac_u[
+        :, None
+    ].astype(compute_dtype)
+    ad = at_high - at_low
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, width), 1)
+    c_low = (cols == lower_e[:, None]).astype(compute_dtype)
+    c_high = (cols == lower_e[:, None] + 1).astype(compute_dtype)
+    c0 = (
+        c_low * (1.0 - frac_e)[:, None].astype(compute_dtype)
+        + c_high * frac_e[:, None].astype(compute_dtype)
+    ).astype(jnp.float32)
+    cd = (c_high - c_low).astype(jnp.float32)
+
     g = g_ref[0].astype(compute_dtype)  # [H, W]
     # g1[b, c] = sum_r a0[b, r] g[r, c];  g2 likewise with the row derivative.
     g1 = jax.lax.dot_general(
-        a0.astype(compute_dtype),
-        g,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        a0, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     g2 = jax.lax.dot_general(
-        ad.astype(compute_dtype),
-        g,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        ad, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     # Invalid rays deposited nothing in the forward pass: their one-hot
     # factors must not leak gradient into dw.
@@ -158,9 +169,9 @@ def _splat_bwd_kernel(
     du_ref[:] = w * jnp.sum(g2 * c0, axis=1)
 
 
-def _pad_rays(x: jnp.ndarray, value: float) -> jnp.ndarray:
+def _pad_rays(x: jnp.ndarray, value: float, block: int) -> jnp.ndarray:
     n = x.shape[1]
-    padded = pl.cdiv(n, RAY_BLOCK) * RAY_BLOCK
+    padded = pl.cdiv(n, block) * block
     if padded == n:
         return x
     return jnp.pad(x, ((0, 0), (0, padded - n)), constant_values=value)
@@ -208,10 +219,10 @@ def _splat_forward(bitmap_e, bitmap_u, intensities, bitmap_resolution, compute_d
     # Flattening over (heliostat, ray) keeps ray blocks 1D (TPU tiling wants
     # the last dim % 128 == 0); padded per-heliostat counts stay block
     # multiples, so no block straddles two heliostats.
-    e = _pad_rays(bitmap_e.astype(jnp.float32), -10.0)
-    u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0)
-    w = _pad_rays(intensities.astype(jnp.float32), 0.0)
-    blocks_per_map = e.shape[1] // RAY_BLOCK
+    e = _pad_rays(bitmap_e.astype(jnp.float32), -10.0, FWD_RAY_BLOCK)
+    u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0, FWD_RAY_BLOCK)
+    w = _pad_rays(intensities.astype(jnp.float32), 0.0, FWD_RAY_BLOCK)
+    blocks_per_map = e.shape[1] // FWD_RAY_BLOCK
 
     kernel = functools.partial(
         _splat_fwd_kernel,
@@ -220,7 +231,7 @@ def _splat_forward(bitmap_e, bitmap_u, intensities, bitmap_resolution, compute_d
         blocks_per_map=blocks_per_map,
         compute_dtype=compute_dtype,
     )
-    ray_spec = pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((FWD_RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(num * blocks_per_map,),
@@ -246,16 +257,16 @@ def _splat_bwd(bitmap_resolution, compute_dtype, residuals, g):
     bitmap_e, bitmap_u, intensities = residuals
     width, height = int(bitmap_resolution[0]), int(bitmap_resolution[1])
     num, n = bitmap_e.shape
-    e = _pad_rays(bitmap_e.astype(jnp.float32), -10.0)
-    u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0)
-    w = _pad_rays(intensities.astype(jnp.float32), 0.0)
-    blocks_per_map = e.shape[1] // RAY_BLOCK
+    e = _pad_rays(bitmap_e.astype(jnp.float32), -10.0, BWD_RAY_BLOCK)
+    u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0, BWD_RAY_BLOCK)
+    w = _pad_rays(intensities.astype(jnp.float32), 0.0, BWD_RAY_BLOCK)
+    blocks_per_map = e.shape[1] // BWD_RAY_BLOCK
     padded = e.shape[1]
 
     kernel = functools.partial(
         _splat_bwd_kernel, height=height, width=width, compute_dtype=compute_dtype
     )
-    ray_spec = pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((BWD_RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
     grad_spec = pl.BlockSpec(
         (1, height, width),
         lambda i: (i // blocks_per_map, 0, 0),

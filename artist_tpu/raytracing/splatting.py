@@ -62,6 +62,14 @@ def bilinear_splat(
 
     if method == "auto":
         method = "pallas" if jax.default_backend() != "cpu" else "scatter"
+    if method == "debug_sum":
+        # Profiling stand-in: preserves shapes and gradient dependencies but
+        # skips the actual splat (uniform deposition). NOT physically valid.
+        total = jnp.sum(w, axis=1) + 0.0 * (jnp.sum(e) + jnp.sum(u))
+        return jnp.broadcast_to(
+            (total / (height * width))[:, None, None],
+            (num_heliostats, height, width),
+        )
     if method in ("pallas", "pallas_fp32"):
         from artist_tpu.kernels.splat_pallas import bilinear_splat_pallas
 
