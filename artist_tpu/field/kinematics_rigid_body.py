@@ -18,6 +18,9 @@ artist/field/kinematics_rigid_body.py:174-192).
 
 from __future__ import annotations
 
+import functools
+import logging
+
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +28,8 @@ from artist_tpu.field import actuators
 from artist_tpu.geometry import transforms
 from artist_tpu.geometry.transforms import _normalize
 from artist_tpu.util import indices
+
+log = logging.getLogger("artist_tpu.field")
 
 KINEMATICS_STANDARD_ORIENTATION = jnp.array([0.0, -1.0, 0.0, 0.0], dtype=jnp.float32)
 HOMOGENEOUS_ORIGIN = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=jnp.float32)
@@ -134,24 +139,32 @@ def motor_positions_from_normals(
     actuator_non_optimizable: jnp.ndarray,
     actuator_optimizable: jnp.ndarray,
     epsilon: float = 1e-8,
-) -> jnp.ndarray:
+    return_validity: bool = False,
+) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
     """Inverse kinematics: desired concentrator normal -> motor positions.
 
     Closed-form two-solution phase-shifted-sinusoid solve for (theta1,
     theta2) after factoring out the joint rotation deviations; the solution
     whose motor positions lie inside the actuator limits is selected
-    (solution 1 preferred). reference:
+    (solution 1 preferred, solution 2 otherwise - including when neither is
+    valid, matching the reference's fallback). reference:
     artist/field/kinematics_rigid_body.py:326-508.
 
     Parameters
     ----------
     normals : jnp.ndarray
         Desired concentrator normals. Shape ``[M, 4]``.
+    return_validity : bool
+        When True, additionally return a boolean mask ``[M]`` that is False
+        for heliostats where NEITHER solution lies inside the motor limits
+        (the reference warns "No valid motor position combination",
+        artist/field/kinematics_rigid_body.py:493-500).
 
     Returns
     -------
-    jnp.ndarray
-        Motor positions. Shape ``[M, 2]``.
+    jnp.ndarray | tuple
+        Motor positions ``[M, 2]``; with ``return_validity`` also the
+        validity mask ``[M]``.
     """
     first_dev = _mm(
         transforms.rotate_n(rotation_deviations[:, indices.first_joint_tilt_n]),
@@ -217,7 +230,59 @@ def motor_positions_from_normals(
     min_pos = actuator_non_optimizable[:, indices.actuator_min_motor_position]
     max_pos = actuator_non_optimizable[:, indices.actuator_max_motor_position]
     solution_1_valid = jnp.all((motor_1 >= min_pos) & (motor_1 <= max_pos), axis=1)
-    return jnp.where(solution_1_valid[:, None], motor_1, motor_2)
+    motor_positions = jnp.where(solution_1_valid[:, None], motor_1, motor_2)
+    if not return_validity:
+        return motor_positions
+    solution_2_valid = jnp.all((motor_2 >= min_pos) & (motor_2 <= max_pos), axis=1)
+    return motor_positions, solution_1_valid | solution_2_valid
+
+
+@functools.cache
+def _host_callbacks_supported() -> bool:
+    """Probe whether the default backend supports jitted host callbacks.
+
+    Some PJRT plugins (e.g. the tunneled ``axon`` TPU backend) raise
+    UNIMPLEMENTED for host send/recv; the probe compiles one trivial
+    program once and caches the answer.
+    """
+    try:
+        jax.jit(lambda x: jax.debug.callback(lambda _: None, x) or x)(
+            jnp.zeros((), jnp.int32)
+        ).block_until_ready()
+        return True
+    except Exception:  # noqa: BLE001 - any backend failure means "no"
+        log.info(
+            "Backend %s does not support host callbacks; invalid-motor-"
+            "position warnings are disabled under jit.",
+            jax.default_backend(),
+        )
+        return False
+
+
+def _warn_invalid_motor_positions(valid: jnp.ndarray) -> None:
+    """Host-side warning for heliostats where no motor solution is valid.
+
+    The jit-compatible analogue of the reference's eager warning
+    (artist/field/kinematics_rigid_body.py:493-500): the validity mask is
+    shipped to the host via ``jax.debug.callback`` and logged there, so the
+    traced computation itself stays pure. No-op on backends without host
+    callback support.
+    """
+    if not _host_callbacks_supported():
+        return
+
+    def callback(valid_host) -> None:
+        import numpy as np
+
+        invalid = np.nonzero(~np.asarray(valid_host))[0]
+        if invalid.size:
+            log.warning(
+                "No valid motor position combination for active heliostat "
+                "number(s): %s.",
+                invalid.tolist(),
+            )
+
+    jax.debug.callback(callback, valid)
 
 
 def motor_positions_to_orientations(
@@ -256,6 +321,7 @@ def incident_ray_directions_to_orientations(
     actuator_optimizable: jnp.ndarray,
     max_num_iterations: int = 4,
     min_eps: float = 0.0001,
+    warn_invalid: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Aim-point alignment: fixed-point iteration of forward/inverse kinematics.
 
@@ -263,6 +329,12 @@ def incident_ray_directions_to_orientations(
     statically unrolled; a traced scalar ``done`` gate freezes the motor
     update once the global normal-residual change drops below ``min_eps``,
     which is bit-equivalent to the reference's early ``break``.
+
+    ``warn_invalid`` ships the per-solve validity mask to the host via an
+    async ``jax.debug.callback`` and logs a warning for heliostats where
+    neither motor solution respects the limits (reference:
+    artist/field/kinematics_rigid_body.py:493-500); pass False in
+    latency-critical inner loops.
 
     Returns
     -------
@@ -308,13 +380,16 @@ def incident_ray_directions_to_orientations(
             done = done | jnp.all(jnp.abs(last_loss - loss) <= min_eps)
         last_loss = loss
 
-        new_motor = motor_positions_from_normals(
+        new_motor, motor_valid = motor_positions_from_normals(
             desired_normals,
             rotation_deviations,
             actuator_type,
             actuator_non_optimizable,
             actuator_optimizable,
+            return_validity=True,
         )
+        if warn_invalid:
+            _warn_invalid_motor_positions(motor_valid)
         motor_positions = jnp.where(done, motor_positions, new_motor)
 
     return _mm(orientations, initial_orientation_offset()), motor_positions

@@ -31,6 +31,51 @@ import jax.numpy as jnp
 from artist_tpu.geometry.transforms import _normalize, perform_canting
 
 
+def validate_uniform_knot_vectors(
+    knot_vectors, degree: int, atol: float = 1e-6
+) -> None:
+    """Reject non-uniform knot vectors loudly.
+
+    The analytic evaluation in this module assumes clamped UNIFORM knots -
+    the only kind the reference ever constructs
+    (artist/nurbs/surfaces.py:98-155: ``calculate_uniform_knot_vectors`` is
+    called unconditionally at init; the non-uniform search branch at
+    :157-245 is unreachable from its own pipelines, and scenario HDF5 files
+    carry no knot data). Any ingress path that DOES receive explicit knot
+    vectors must call this guard first: silently evaluating non-uniform
+    knots with the uniform closed form would be wrong without warning.
+
+    Parameters
+    ----------
+    knot_vectors : array-like
+        Knot vectors ``[..., C + degree + 1]`` (batched or flat).
+    degree : int
+        Spline degree.
+
+    Raises
+    ------
+    ValueError
+        If the knots are not clamped uniform within ``atol``.
+    """
+    import numpy as np
+
+    knots = np.asarray(knot_vectors, dtype=np.float64)
+    length = knots.shape[-1]
+    number_of_control_points = length - degree - 1
+    index = np.arange(length)
+    expected = np.clip(
+        (index - degree) / (number_of_control_points - degree), 0.0, 1.0
+    )
+    if not np.allclose(knots, expected, atol=atol):
+        raise ValueError(
+            "Non-uniform knot vectors are not supported: the TPU NURBS "
+            "evaluation uses the analytic clamped-uniform closed form "
+            "(reference artist/nurbs/surfaces.py:98-155 also only ever "
+            "constructs uniform knots). Re-parameterize the surface with "
+            "uniform knots or refit the control points."
+        )
+
+
 def find_spans_uniform(
     evaluation_points: jnp.ndarray, number_of_control_points: int, degree: int
 ) -> jnp.ndarray:

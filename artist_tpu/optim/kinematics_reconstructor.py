@@ -183,17 +183,20 @@ class KinematicsReconstructor:
     ):
         if self.reconstruction_method == constants.kinematics_reconstruction_raytracing:
 
-            def loss_fn(rotation_deviations, group, batch, num_samples):
+            def loss_fn(rotation_deviations, group, batch):
                 flux = self._trace_flux(group, rotation_deviations, batch)
                 per_sample = self._flux_loss_per_sample(loss_name, flux, batch)
-                per_heliostat = losses.reduce_loss_per_sample(
-                    per_sample, num_samples, "median"
+                per_heliostat = losses.reduce_loss_per_heliostat(
+                    per_sample,
+                    batch["padded_sample_indices"],
+                    batch["sample_valid"],
+                    "median",
                 )
                 return jnp.mean(per_heliostat), per_heliostat
 
         else:
 
-            def loss_fn(rotation_deviations, group, batch, num_samples):
+            def loss_fn(rotation_deviations, group, batch):
                 active = hg.gather_active(
                     group.replace(rotation_deviations=rotation_deviations),
                     batch["active_indices"],
@@ -225,18 +228,19 @@ class KinematicsReconstructor:
                     raise ValueError(
                         f"Unknown loss for alignment-driven reconstruction: {loss_name}"
                     )
-                per_heliostat = losses.reduce_loss_per_sample(
-                    per_sample, num_samples, "mean"
+                per_heliostat = losses.reduce_loss_per_heliostat(
+                    per_sample,
+                    batch["padded_sample_indices"],
+                    batch["sample_valid"],
+                    "mean",
                 )
                 return jnp.mean(per_heliostat), per_heliostat
 
-        @partial(jax.jit, static_argnames=("num_samples",), donate_argnums=(0, 1))
-        def train_step(
-            rotation_deviations, opt_state, group, batch, learning_rate, num_samples
-        ):
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(rotation_deviations, opt_state, group, batch, learning_rate):
             (loss_value, per_heliostat), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(rotation_deviations, group, batch, num_samples)
+            )(rotation_deviations, group, batch)
             # NaN-gradient scrubbing (reference: kinematics_reconstructor.py:822-826).
             grads = jnp.nan_to_num(grads, nan=0.0, posinf=0.0, neginf=0.0)
             updates, opt_state = optimizer.update(
@@ -252,25 +256,21 @@ class KinematicsReconstructor:
             else "mean"
         )
 
-        @partial(jax.jit, static_argnames=("num_samples",))
-        def validate_step(rotation_deviations, group, batch, num_samples):
+        @jax.jit
+        def validate_step(rotation_deviations, group, batch):
             flux = self._trace_flux(group, rotation_deviations, batch)
             return {
-                "pixel_loss": losses.reduce_loss_per_sample(
-                    self._flux_loss_per_sample("pixel", flux, batch),
-                    num_samples,
+                name: losses.reduce_loss_per_heliostat(
+                    self._flux_loss_per_sample(loss, flux, batch),
+                    batch["padded_sample_indices"],
+                    batch["sample_valid"],
                     reduction,
-                ),
-                "kl_div": losses.reduce_loss_per_sample(
-                    self._flux_loss_per_sample("kl_divergence", flux, batch),
-                    num_samples,
-                    reduction,
-                ),
-                "focal_spot_loss": losses.reduce_loss_per_sample(
-                    self._flux_loss_per_sample("focal_spot", flux, batch),
-                    num_samples,
-                    reduction,
-                ),
+                )
+                for name, loss in (
+                    ("pixel_loss", "pixel"),
+                    ("kl_div", "kl_divergence"),
+                    ("focal_spot_loss", "focal_spot"),
+                )
             }
 
         return train_step, validate_step
@@ -295,6 +295,7 @@ class KinematicsReconstructor:
         motor_positions: np.ndarray,
         focal_spots: np.ndarray,
         key: jax.Array,
+        row_heliostats: np.ndarray,
     ) -> dict:
         sun = self.scenario.light_sources[0]
         active_indices = hg.active_indices_from_mask(mask)
@@ -338,7 +339,12 @@ class KinematicsReconstructor:
             )
             distortions_u = jax.device_put(distortions_u, sharding)
             distortions_e = jax.device_put(distortions_e, sharding)
+        padded, valid = losses.build_sample_index_matrix(
+            np.asarray(mask)[row_heliostats]
+        )
         return {
+            "padded_sample_indices": jnp.asarray(padded),
+            "sample_valid": jnp.asarray(valid),
             "active_indices": active_d,
             "incident_ray_directions": incident_d,
             "target_area_indices": targets_d,
@@ -411,6 +417,7 @@ class KinematicsReconstructor:
                 target_area_indices=calibration.target_area_indices,
             )
 
+            unique = np.nonzero(calibration.active_heliostats_mask)[0]
             key_train, key_test = jax.random.split(jax.random.PRNGKey(self.seed))
             train_batch = self._make_batch(
                 group,
@@ -421,6 +428,7 @@ class KinematicsReconstructor:
                 split.motor_positions_train,
                 split.focal_spots_measured_train,
                 key_train,
+                unique,
             )
             test_batch = self._make_batch(
                 group,
@@ -431,6 +439,7 @@ class KinematicsReconstructor:
                 split.motor_positions_test,
                 split.focal_spots_measured_test,
                 key_test,
+                unique,
             )
 
             base_optimizer = optax.adam(learning_rate=1.0)
@@ -475,7 +484,6 @@ class KinematicsReconstructor:
                     group,
                     train_batch,
                     jnp.float32(learning_rate),
-                    split.number_of_train_samples,
                 )
                 loss_value = float(loss_j)
                 if isinstance(scheduler, training.ReduceOnPlateau):
@@ -487,10 +495,7 @@ class KinematicsReconstructor:
                     test_loss = {
                         k: np.asarray(v)
                         for k, v in validate_step(
-                            rotation_deviations,
-                            group,
-                            test_batch,
-                            split.number_of_test_samples,
+                            rotation_deviations, group, test_batch
                         ).items()
                     }
                 if stop:
@@ -502,7 +507,6 @@ class KinematicsReconstructor:
             self.scenario.heliostat_groups[group_index] = group.replace(
                 rotation_deviations=rotation_deviations
             )
-            unique = np.nonzero(calibration.active_heliostats_mask)[0]
             per_heliostat_np = (
                 np.asarray(per_heliostat)
                 if per_heliostat is not None

@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax.numpy as jnp
+import numpy as np
 
 from artist_tpu.field.solar_tower import SolarTower
 from artist_tpu.flux.bitmap import get_center_of_mass
@@ -57,7 +58,7 @@ def kl_divergence_loss(
 
 def focal_spot_loss(
     prediction_bitmaps: jnp.ndarray,
-    ground_truth_focal_spots: jnp.ndarray,
+    ground_truth: jnp.ndarray,
     tower: SolarTower,
     target_area_indices: jnp.ndarray,
     bitmap_resolution: tuple[int, int] | None = None,
@@ -65,18 +66,20 @@ def focal_spot_loss(
     """Euclidean distance between predicted and measured focal spots.
 
     The prediction's center of mass is mapped to world coordinates on the
-    target surface (planar or cylindrical) and compared to the ground-truth
-    focal spot coordinates. reference: artist/optim/loss.py:124-248 (the
-    reference recomputes the ground-truth center of mass from bitmaps when
-    given bitmaps; here the measured spot is passed directly as done by the
-    kinematics reconstructor).
+    target surface (planar or cylindrical) and compared to the ground truth.
+    Like the reference (artist/optim/loss.py:124-248), ``ground_truth`` may
+    be measured flux **bitmaps** ``[M, H, W]`` - their center of mass is then
+    recomputed and mapped to world coordinates the same way - or
+    pre-extracted focal-spot world coordinates ``[M, 4]`` (the kinematics
+    reconstructor's alignment data path).
 
     Parameters
     ----------
     prediction_bitmaps : jnp.ndarray
         Shape ``[M, H, W]``.
-    ground_truth_focal_spots : jnp.ndarray
-        World coordinates. Shape ``[M, 4]``.
+    ground_truth : jnp.ndarray
+        Measured flux bitmaps ``[M, H, W]`` or focal-spot world coordinates
+        ``[M, 4]``.
     """
     if bitmap_resolution is None:
         bitmap_resolution = (prediction_bitmaps.shape[2], prediction_bitmaps.shape[1])
@@ -84,7 +87,14 @@ def focal_spot_loss(
     predicted = bitmap_coordinates_to_target_coordinates(
         centers, bitmap_resolution, tower, target_area_indices
     )
-    return jnp.linalg.norm(predicted[:, :3] - ground_truth_focal_spots[:, :3], axis=1)
+    if ground_truth.ndim == 3:
+        measured_centers = get_center_of_mass(ground_truth)
+        measured = bitmap_coordinates_to_target_coordinates(
+            measured_centers, bitmap_resolution, tower, target_area_indices
+        )
+    else:
+        measured = ground_truth
+    return jnp.linalg.norm(predicted[:, :3] - measured[:, :3], axis=1)
 
 
 def angle_loss(prediction: jnp.ndarray, ground_truth: jnp.ndarray) -> jnp.ndarray:
@@ -113,9 +123,10 @@ def reduce_loss_per_sample(
     number_of_samples_per_heliostat: int,
     reduction: Callable[[jnp.ndarray], jnp.ndarray] | str = "mean",
 ) -> jnp.ndarray:
-    """Sample -> heliostat loss reduction (mean or median).
+    """Sample -> heliostat loss reduction (mean or median), uniform counts.
 
-    reference: artist/optim/loss.py:509-549.
+    reference: artist/optim/loss.py:509-549. For per-heliostat sample counts
+    that differ use :func:`reduce_loss_per_heliostat` instead.
     """
     number_of_heliostats = loss_per_sample.size // number_of_samples_per_heliostat
     trimmed = loss_per_sample[: number_of_heliostats * number_of_samples_per_heliostat]
@@ -127,3 +138,79 @@ def reduce_loss_per_sample(
         sorted_losses = jnp.sort(grouped, axis=1)
         return sorted_losses[:, (number_of_samples_per_heliostat - 1) // 2]
     return reduction(grouped)
+
+
+def build_sample_index_matrix(
+    sample_counts,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side helper: pad ragged per-heliostat sample blocks to a matrix.
+
+    The per-sample arrays are ordered blocks (heliostat h owns samples
+    ``[start_h, start_h + counts[h])``, reference:
+    artist/io/paint_calibration_parser.py:172-313). Returns a gather matrix
+    and validity mask with **static shapes** so the ragged reduction stays
+    jit-compatible.
+
+    Parameters
+    ----------
+    sample_counts : array-like
+        Per-heliostat sample counts (zeros allowed). Shape ``[H]``. Rows are
+        emitted for every heliostat in this array, including zero-count ones
+        (their reduced loss is 0).
+
+    Returns
+    -------
+    tuple of np.ndarray
+        ``padded_indices`` int32 ``[H, max_count]`` (0-filled past each
+        heliostat's count) and ``valid`` bool ``[H, max_count]``.
+    """
+    counts = np.asarray(sample_counts, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    max_count = max(1, int(counts.max()) if counts.size else 1)
+    offsets = np.arange(max_count)[None, :]
+    valid = offsets < counts[:, None]
+    padded = np.where(valid, starts[:, None] + offsets, 0).astype(np.int32)
+    return padded, valid
+
+
+def reduce_loss_per_heliostat(
+    loss_per_sample: jnp.ndarray,
+    padded_sample_indices: jnp.ndarray,
+    sample_valid: jnp.ndarray,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """Sample -> heliostat loss reduction for ragged per-heliostat counts.
+
+    Static-shape (jit-compatible) generalization of
+    :func:`reduce_loss_per_sample`: per-heliostat sample blocks of different
+    lengths are expressed as a padded gather matrix (built host-side by
+    :func:`build_sample_index_matrix`). reference:
+    artist/optim/loss.py:509-549 (which assumes uniform counts).
+
+    Parameters
+    ----------
+    loss_per_sample : jnp.ndarray
+        Shape ``[S]``.
+    padded_sample_indices : jnp.ndarray
+        int32 ``[H, max_count]`` gather matrix.
+    sample_valid : jnp.ndarray
+        bool ``[H, max_count]``; False marks padding.
+    reduction : str
+        ``"mean"`` or ``"median"`` (lower middle element, torch semantics).
+
+    Returns
+    -------
+    jnp.ndarray
+        Per-heliostat loss. Shape ``[H]``; 0 for heliostats with no samples.
+    """
+    grouped = jnp.take(loss_per_sample, padded_sample_indices, axis=0)
+    counts = jnp.sum(sample_valid, axis=1)
+    if reduction == "mean":
+        total = jnp.sum(jnp.where(sample_valid, grouped, 0.0), axis=1)
+        return total / jnp.maximum(counts, 1)
+    if reduction == "median":
+        sorted_losses = jnp.sort(jnp.where(sample_valid, grouped, jnp.inf), axis=1)
+        middle = jnp.maximum((counts - 1) // 2, 0)
+        picked = jnp.take_along_axis(sorted_losses, middle[:, None], axis=1)[:, 0]
+        return jnp.where(counts > 0, picked, 0.0)
+    raise ValueError(f"Unknown reduction: {reduction}")

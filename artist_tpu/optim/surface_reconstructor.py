@@ -231,7 +231,6 @@ class SurfaceReconstructor:
             flux_integrals_reference: jnp.ndarray,
             lambda_flux_integral: jnp.ndarray,
             original_control_points: jnp.ndarray,
-            num_train_samples: int,
         ):
             cropped = predict_cropped_flux(
                 control_points,
@@ -244,8 +243,11 @@ class SurfaceReconstructor:
                 batch["ray_magnitude"],
             )
             flux_loss_per_sample = flux_loss_fn(cropped, batch["flux_measured"])
-            flux_loss_per_heliostat = losses.reduce_loss_per_sample(
-                flux_loss_per_sample, num_train_samples, "mean"
+            flux_loss_per_heliostat = losses.reduce_loss_per_heliostat(
+                flux_loss_per_sample,
+                batch["padded_sample_indices"],
+                batch["sample_valid"],
+                "mean",
             )
 
             # Augmented-Lagrangian flux-integral (energy conservation)
@@ -257,8 +259,11 @@ class SurfaceReconstructor:
             constraint_per_sample = jnp.clip(
                 -energy_tolerance - relative_differences, 0.0, None
             )
-            constraint_per_heliostat = losses.reduce_loss_per_sample(
-                constraint_per_sample, num_train_samples, "mean"
+            constraint_per_heliostat = losses.reduce_loss_per_heliostat(
+                constraint_per_sample,
+                batch["padded_sample_indices"],
+                batch["sample_valid"],
+                "mean",
             )
             flux_integral_constraint = (
                 lambda_flux_integral * constraint_per_heliostat
@@ -301,7 +306,7 @@ class SurfaceReconstructor:
             }
             return jnp.mean(total_per_heliostat), aux
 
-        @partial(jax.jit, static_argnames=("num_train_samples",), donate_argnums=(0, 1))
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(
             control_points: jnp.ndarray,
             opt_state,
@@ -310,7 +315,6 @@ class SurfaceReconstructor:
             original_control_points: jnp.ndarray,
             batch: dict,
             learning_rate: jnp.ndarray,
-            num_train_samples: int,
         ):
             (total_loss, aux), grads = jax.value_and_grad(loss_terms, has_aux=True)(
                 control_points,
@@ -318,7 +322,6 @@ class SurfaceReconstructor:
                 flux_integrals_reference,
                 lambda_flux_integral,
                 original_control_points,
-                num_train_samples,
             )
             grads = lock_control_points_on_outer_edges(grads)
             updates, opt_state = optimizer.update(
@@ -331,8 +334,8 @@ class SurfaceReconstructor:
             )
             return control_points, opt_state, lambda_flux_integral, total_loss, aux
 
-        @partial(jax.jit, static_argnames=("num_test_samples",))
-        def validate_step(control_points: jnp.ndarray, batch: dict, num_test_samples: int):
+        @jax.jit
+        def validate_step(control_points: jnp.ndarray, batch: dict):
             cropped = predict_cropped_flux(
                 control_points,
                 batch["active_indices"],
@@ -343,20 +346,22 @@ class SurfaceReconstructor:
                 batch["distortions_e"],
                 batch["ray_magnitude"],
             )
-            pixel = losses.reduce_loss_per_sample(
+            pixel = losses.reduce_loss_per_heliostat(
                 losses.pixel_loss(cropped, batch["flux_measured"]),
-                num_test_samples,
+                batch["padded_sample_indices"],
+                batch["sample_valid"],
                 "mean",
             )
-            kl = losses.reduce_loss_per_sample(
+            kl = losses.reduce_loss_per_heliostat(
                 losses.kl_divergence_loss(cropped, batch["flux_measured"]),
-                num_test_samples,
+                batch["padded_sample_indices"],
+                batch["sample_valid"],
                 "mean",
             )
             return {"test_loss_pixel": pixel, "test_loss_kl_divergence": kl}
 
-        @partial(jax.jit, static_argnames=("num_train_samples",))
-        def reference_integrals(control_points: jnp.ndarray, batch: dict, num_train_samples: int):
+        @jax.jit
+        def reference_integrals(control_points: jnp.ndarray, batch: dict):
             cropped = predict_cropped_flux(
                 control_points,
                 batch["active_indices"],
@@ -382,8 +387,15 @@ class SurfaceReconstructor:
         flux: np.ndarray,
         key: jax.Array,
         sun,
+        row_heliostats: np.ndarray,
     ) -> dict:
-        """Assemble the device-side per-sample arrays for one split."""
+        """Assemble the device-side per-sample arrays for one split.
+
+        ``row_heliostats`` fixes the per-heliostat row basis (group-local
+        indices of calibration-active heliostats) so the ragged loss
+        reduction stays aligned with ``original_control_points`` and the
+        AL multipliers even when a heliostat has zero samples in this split.
+        """
         active_indices = hg.active_indices_from_mask(mask)
         num_samples = active_indices.shape[0]
         num_points = (
@@ -420,6 +432,9 @@ class SurfaceReconstructor:
         distortions_u, distortions_e = self._shard_distortions(
             distortions_u, distortions_e
         )
+        padded, valid = losses.build_sample_index_matrix(
+            np.asarray(mask)[row_heliostats]
+        )
         return {
             "active_indices": active_indices_d,
             "aim_points": aim_points,
@@ -429,7 +444,9 @@ class SurfaceReconstructor:
             "distortions_e": distortions_e,
             "flux_measured": flux_d,
             "ray_magnitude": ray_magnitude,
-            "unique_heliostats": jnp.asarray(np.nonzero(mask)[0], dtype=jnp.int32),
+            "unique_heliostats": jnp.asarray(row_heliostats, dtype=jnp.int32),
+            "padded_sample_indices": jnp.asarray(padded),
+            "sample_valid": jnp.asarray(valid),
         }
 
     def reconstruct_surfaces(
@@ -484,6 +501,7 @@ class SurfaceReconstructor:
                 target_area_indices=calibration.target_area_indices,
             )
 
+            unique = np.nonzero(calibration.active_heliostats_mask)[0]
             key = jax.random.PRNGKey(self.seed)
             key_train, key_test = jax.random.split(key)
             sun = self.scenario.light_sources[0]
@@ -495,6 +513,7 @@ class SurfaceReconstructor:
                 split.flux_measured_train,
                 key_train,
                 sun,
+                unique,
             )
             test_batch = self._make_batch(
                 group,
@@ -504,6 +523,7 @@ class SurfaceReconstructor:
                 split.flux_measured_test,
                 key_test,
                 sun,
+                unique,
             )
 
             # Adam with a per-step learning rate passed explicitly (supports
@@ -524,7 +544,6 @@ class SurfaceReconstructor:
 
             control_points = group.nurbs_control_points
             opt_state = wrapped.init(control_points)
-            unique = np.nonzero(calibration.active_heliostats_mask)[0]
             original_control_points = jnp.take(
                 control_points, jnp.asarray(unique, dtype=jnp.int32), axis=0
             )
@@ -539,9 +558,7 @@ class SurfaceReconstructor:
                 relative=True,
             )
 
-            num_train = split.number_of_train_samples
-            num_test = split.number_of_test_samples
-            flux_ref = reference_integrals(control_points, train_batch, num_train)
+            flux_ref = reference_integrals(control_points, train_batch)
             flux_ref = jax.lax.stop_gradient(flux_ref)
             lambda_flux = jnp.zeros(unique.shape[0], dtype=jnp.float32)
 
@@ -579,7 +596,6 @@ class SurfaceReconstructor:
                     original_control_points,
                     train_batch,
                     jnp.float32(learning_rate),
-                    num_train,
                 )
                 total_loss = float(loss_value)
                 total_per_heliostat = aux["total_loss_per_heliostat"]
@@ -591,9 +607,7 @@ class SurfaceReconstructor:
                     log.info("Epoch: %d, Loss: %.6f", epoch, total_loss)
                     test_loss = {
                         k: np.asarray(v)
-                        for k, v in validate_step(
-                            control_points, test_batch, num_test
-                        ).items()
+                        for k, v in validate_step(control_points, test_batch).items()
                     }
                 if stop:
                     log.info("Early stopping at epoch %d.", epoch)

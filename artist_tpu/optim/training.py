@@ -169,25 +169,49 @@ def train_test_split(
     """Split ordered per-heliostat sample blocks: train from the block start,
     test from the block end.
 
-    reference: artist/optim/training.py:268-367 (host-side; numpy here).
+    reference: artist/optim/training.py:268-367 (host-side; numpy here). The
+    reference assumes one uniform sample count per heliostat; real PAINT data
+    is ragged (per-heliostat counts differ), so the split here walks the true
+    block boundaries from ``active_heliostats_mask``: heliostat ``h`` with
+    ``c_h`` samples contributes ``max(1, int(c_h * test_fraction))`` test
+    samples from the end of its block and the rest to training. With uniform
+    counts the result is identical to the reference's.
+
+    The ``number_of_*_samples`` scalar fields hold the per-heliostat counts
+    when they are uniform and the maximum otherwise; per-heliostat counts are
+    the masks themselves.
     """
     active_heliostats_mask = np.asarray(active_heliostats_mask)
-    total_samples = int(active_heliostats_mask.sum())
-    number_of_heliostats = int((active_heliostats_mask > 0).sum())
-    samples_per_heliostat = total_samples // number_of_heliostats
-    number_of_test = max(1, int(samples_per_heliostat * test_fraction))
-    number_of_train = samples_per_heliostat - number_of_test
+    counts = active_heliostats_mask.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
-    starts = np.arange(number_of_heliostats) * samples_per_heliostat
-    train_indices = (
-        starts[:, None] + np.arange(number_of_train)[None, :]
-    ).reshape(-1)
-    test_indices = (
-        starts[:, None] + np.arange(number_of_train, samples_per_heliostat)[None, :]
-    ).reshape(-1)
+    test_counts = np.where(
+        counts > 0, np.maximum(1, (counts * test_fraction).astype(np.int64)), 0
+    )
+    train_counts = counts - test_counts
 
-    mask_train = np.clip(active_heliostats_mask - number_of_test, 0, None)
-    mask_test = np.clip(active_heliostats_mask - number_of_train, 0, None)
+    train_indices = np.concatenate(
+        [
+            np.arange(start, start + n_train)
+            for start, n_train in zip(starts, train_counts)
+        ]
+        or [np.empty(0, np.int64)]
+    )
+    test_indices = np.concatenate(
+        [
+            np.arange(start + n_train, start + count)
+            for start, n_train, count in zip(starts, train_counts, counts)
+        ]
+        or [np.empty(0, np.int64)]
+    )
+
+    mask_train = train_counts.astype(active_heliostats_mask.dtype)
+    mask_test = test_counts.astype(active_heliostats_mask.dtype)
+
+    active_counts = counts[counts > 0]
+    samples_per_heliostat = int(active_counts.max()) if active_counts.size else 0
+    number_of_train = int(train_counts.max()) if counts.size else 0
+    number_of_test = int(test_counts.max()) if counts.size else 0
 
     def take(x, idx):
         return np.asarray(x)[idx]

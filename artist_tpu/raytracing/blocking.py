@@ -176,6 +176,116 @@ def _global_primitive_cull(
     return jnp.any(hit, axis=(0, 1, 2))  # [B]
 
 
+def _chunk_optical_depth(
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    corners: jnp.ndarray,
+    spans: jnp.ndarray,
+    normals: jnp.ndarray,
+    primitive_valid: jnp.ndarray,
+    intersection_distances_target: jnp.ndarray | None,
+    own_primitive_mask: jnp.ndarray | None,
+    epsilon: float,
+    softness: float,
+    ray_origin_offset: float,
+) -> jnp.ndarray:
+    """Summed soft occlusion sigma over one chunk of primitives.
+
+    All ray-primitive interactions are expanded into dot products against
+    per-primitive vectors (``(o + t d - c0) . s = o.s + t (d.s) - c0.s``), so
+    the largest temporaries are ``[M, R, P, B_chunk]`` - the naive
+    formulation's ``[M, R, P, B, 3]`` intersection-point tensor never exists.
+
+    Parameters: primitives of this chunk (``corners [b, 4, 4]``,
+    ``spans [b, 2, 4]``, ``normals [b, 4]``), ``primitive_valid [b]`` masking
+    padded slots, optional ``own_primitive_mask [M, b]`` (True = the ray's
+    own heliostat). Returns summed sigma ``[M, R, P]``.
+    """
+    origins = ray_origins[..., :3]  # [M, P, 3]
+    directions = ray_directions[..., :3]  # [M, R, P, 3]
+
+    corner_0 = corners[:, 0, :3]  # [b, 3]
+    span_u = spans[:, 0, :3]
+    span_v = spans[:, 1, :3]
+    normals3 = normals[:, :3]
+
+    # Per-primitive scalars.
+    span_u_sq = jnp.sum(span_u * span_u, axis=-1)  # [b]
+    span_v_sq = jnp.sum(span_v * span_v, axis=-1)
+    span_uv = jnp.sum(span_u * span_v, axis=-1)
+    c0_dot_n = jnp.sum(corner_0 * normals3, axis=-1)
+    c0_dot_u = jnp.sum(corner_0 * span_u, axis=-1)
+    c0_dot_v = jnp.sum(corner_0 * span_v, axis=-1)
+    det = span_u_sq * span_v_sq - span_uv * span_uv
+    # sign(0) is 0: degenerate (e.g. zero-padded) primitives must still get a
+    # nonzero safe denominator.
+    det_safe = jnp.where(
+        jnp.abs(det) < epsilon, jnp.where(det >= 0, epsilon, -epsilon), det
+    )
+
+    # Ray-primitive dot products (contractions over the 3-axis).
+    _hi = jax.lax.Precision.HIGHEST  # meters-scale dot products; bf16 would
+    # destroy the softness-1000 sigmoid gates.
+    o_dot_n = jnp.einsum("mpk,bk->mpb", origins, normals3, precision=_hi)
+    o_dot_u = jnp.einsum("mpk,bk->mpb", origins, span_u, precision=_hi)
+    o_dot_v = jnp.einsum("mpk,bk->mpb", origins, span_v, precision=_hi)
+    d_dot_n = jnp.einsum("mrpk,bk->mrpb", directions, normals3, precision=_hi)
+    d_dot_u = jnp.einsum("mrpk,bk->mrpb", directions, span_u, precision=_hi)
+    d_dot_v = jnp.einsum("mrpk,bk->mrpb", directions, span_v, precision=_hi)
+
+    denominator_safe = jnp.where(
+        jnp.abs(d_dot_n) < epsilon,
+        jnp.where(d_dot_n >= 0, epsilon, -epsilon),
+        d_dot_n,
+    )
+    distances = (c0_dot_n - o_dot_n)[:, None] / denominator_safe  # [M, R, P, b]
+    in_front = jax.nn.sigmoid(softness * (distances - ray_origin_offset))
+
+    proj_u = o_dot_u[:, None] + distances * d_dot_u - c0_dot_u
+    proj_v = o_dot_v[:, None] + distances * d_dot_v - c0_dot_v
+    u_coord = (proj_u * span_v_sq - proj_v * span_uv) / det_safe
+    v_coord = (proj_v * span_u_sq - proj_u * span_uv) / det_safe
+
+    inside_u = jax.nn.sigmoid(softness * u_coord) * jax.nn.sigmoid(
+        softness * (1 - u_coord)
+    )
+    inside_v = jax.nn.sigmoid(softness * v_coord) * jax.nn.sigmoid(
+        softness * (1 - v_coord)
+    )
+    sigma = jnp.clip(inside_u * inside_v * in_front, 0.0, 1.0)
+
+    keep = primitive_valid
+    if intersection_distances_target is not None:
+        # AABB slab cull with the reference LBVH filter's semantics: a
+        # primitive participates when ANY (non-self) ray enters its AABB
+        # before reaching the target (artist/raytracing/blocking.py:912-943).
+        # Axis-by-axis accumulation avoids any [.., b, 3] tensor.
+        aabb_min = jnp.min(corners[:, :, :3], axis=1)  # [b, 3]
+        aabb_max = jnp.max(corners[:, :, :3], axis=1)
+        entry = jnp.full_like(distances, -jnp.inf)
+        exit_ = jnp.full_like(distances, jnp.inf)
+        for axis in range(3):
+            inverse_direction = 1.0 / (directions[..., axis, None] + 1e-12)
+            t_low = (
+                aabb_min[:, axis] - origins[:, None, :, None, axis]
+            ) * inverse_direction
+            t_high = (
+                aabb_max[:, axis] - origins[:, None, :, None, axis]
+            ) * inverse_direction
+            entry = jnp.maximum(entry, jnp.minimum(t_low, t_high))
+            exit_ = jnp.minimum(exit_, jnp.maximum(t_low, t_high))
+        hit = (
+            (exit_ >= entry)
+            & (exit_ > 1e-6)
+            & (entry <= intersection_distances_target[..., None])
+        )
+        if own_primitive_mask is not None:
+            hit = hit & ~own_primitive_mask[:, None, None, :]
+        keep = keep & jax.lax.stop_gradient(jnp.any(hit, axis=(0, 1, 2)))
+
+    return jnp.sum(sigma * keep, axis=-1)
+
+
 def soft_ray_blocking_mask(
     ray_origins: jnp.ndarray,
     ray_directions: jnp.ndarray,
@@ -189,6 +299,7 @@ def soft_ray_blocking_mask(
     alpha: float = 100.0,
     ray_origin_offset: float = 0.05,
     cull_method: str = "dense",
+    primitive_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Soft differentiable blocking mask with Beer-Lambert accumulation.
 
@@ -208,89 +319,117 @@ def soft_ray_blocking_mask(
         ``[B, 4, 4]`` corners, ``[B, 2, 4]`` spans, ``[B, 4]`` normals.
     intersection_distances_target : jnp.ndarray | None
         Per-ray distance to the target hit, ``[M, R, P]``. When given, the
-        global AABB candidate cull reproduces the LBVH filter's semantics
+        AABB candidate cull reproduces the LBVH filter's semantics
         (reference: artist/raytracing/blocking.py:831-995); the gate is
         non-differentiable like the reference's no-grad cull.
     ray_primitive_indices : jnp.ndarray | None
         Global primitive index owned by each ray-emitting heliostat,
         ``[M]``; used for the cull's non-self marking.
     cull_method : str
-        ``"dense"`` (default): vectorized ray x primitive slab test -
-        fastest for fields up to thousands of primitives. ``"lbvh"``: the
-        Karras radix-tree traversal from :mod:`artist_tpu.raytracing.lbvh`
-        (identical keep-set; wins only for very large fields).
+        ``"dense"`` (default): vectorized ray x primitive slab test, fused
+        into the per-chunk soft mask. ``"lbvh"``: the Karras radix-tree
+        traversal from :mod:`artist_tpu.raytracing.lbvh` evaluated once up
+        front (identical keep-set; wins only for very large fields).
+    primitive_chunk : int | None
+        Evaluate primitives in chunks of this size under a rematerialized
+        ``lax.scan``; peak memory drops from ``O(M R P B)`` to
+        ``O(M R P chunk)`` in forward AND backward. None = single pass.
 
     Returns
     -------
     jnp.ndarray
         blocked in [0, 1]. Shape ``[M, R, P]``.
     """
-    origins = ray_origins[:, None, :, None, :3]  # [M, 1, P, 1, 3]
-    directions = ray_directions[:, :, :, None, :3]  # [M, R, P, 1, 3]
+    number_of_primitives = blocking_primitives_corners.shape[0]
+    number_of_heliostats = ray_origins.shape[0]
 
-    corner_0 = blocking_primitives_corners[None, None, None, :, 0, :3]
-    span_u = blocking_primitives_spans[None, None, None, :, 0, :3]
-    span_v = blocking_primitives_spans[None, None, None, :, 1, :3]
-    normals = blocking_primitives_normals[None, None, None, :, :3]
+    own_mask = None
+    if ray_primitive_indices is not None:
+        own_mask = (
+            ray_primitive_indices[:, None]
+            == jnp.arange(number_of_primitives)[None, :]
+        )  # [M, B]
 
-    denominator = jnp.sum(directions * normals, axis=-1)
-    denominator_safe = jnp.where(
-        jnp.abs(denominator) < epsilon,
-        jnp.where(denominator >= 0, epsilon, -epsilon),
-        denominator,
-    )
-    distances = (
-        jnp.sum((corner_0 - origins) * normals, axis=-1) / denominator_safe
-    )  # [M, R, P, B]
-    in_front = jax.nn.sigmoid(softness * (distances - ray_origin_offset))
+    primitive_valid = jnp.ones((number_of_primitives,), dtype=bool)
+    distances_for_cull = intersection_distances_target
+    if cull_method == "lbvh" and intersection_distances_target is not None:
+        from artist_tpu.raytracing.lbvh import lbvh_filter_blocking_planes
 
-    intersection_points = origins + distances[..., None] * directions
-    offset_from_corner = intersection_points - corner_0
-
-    span_u_sq = jnp.sum(span_u * span_u, axis=-1)
-    span_v_sq = jnp.sum(span_v * span_v, axis=-1)
-    span_uv = jnp.sum(span_u * span_v, axis=-1)
-    proj_u = jnp.sum(offset_from_corner * span_u, axis=-1)
-    proj_v = jnp.sum(offset_from_corner * span_v, axis=-1)
-    det = span_u_sq * span_v_sq - span_uv * span_uv
-    det_safe = jnp.where(jnp.abs(det) < epsilon, jnp.sign(det) * epsilon, det)
-    u_coord = (proj_u * span_v_sq - proj_v * span_uv) / det_safe
-    v_coord = (proj_v * span_u_sq - proj_u * span_uv) / det_safe
-
-    inside_u = jax.nn.sigmoid(softness * u_coord) * jax.nn.sigmoid(
-        softness * (1 - u_coord)
-    )
-    inside_v = jax.nn.sigmoid(softness * v_coord) * jax.nn.sigmoid(
-        softness * (1 - v_coord)
-    )
-    sigma = jnp.clip(inside_u * inside_v * in_front, 0.0, 1.0)
-
-    if intersection_distances_target is not None:
-        if cull_method == "lbvh":
-            from artist_tpu.raytracing.lbvh import lbvh_filter_blocking_planes
-
-            keep = jax.lax.stop_gradient(
-                lbvh_filter_blocking_planes(
-                    ray_origins,
-                    ray_directions,
-                    blocking_primitives_corners,
-                    ray_primitive_indices
-                    if ray_primitive_indices is not None
-                    else jnp.full((ray_origins.shape[0],), -1, jnp.int32),
-                    intersection_distances_target,
-                )
+        primitive_valid = jax.lax.stop_gradient(
+            lbvh_filter_blocking_planes(
+                ray_origins,
+                ray_directions,
+                blocking_primitives_corners,
+                ray_primitive_indices
+                if ray_primitive_indices is not None
+                else jnp.full((number_of_heliostats,), -1, jnp.int32),
+                intersection_distances_target,
             )
-        else:
-            keep = jax.lax.stop_gradient(
-                _global_primitive_cull(
-                    ray_origins,
-                    ray_directions,
-                    blocking_primitives_corners,
-                    intersection_distances_target,
-                    ray_primitive_indices,
-                )
-            )
-        sigma = sigma * keep[None, None, None, :]
+        )
+        distances_for_cull = None  # cull already applied
 
-    optical_depth = alpha * jnp.sum(sigma, axis=-1)
+    if primitive_chunk is None or primitive_chunk >= number_of_primitives:
+        sigma_sum = _chunk_optical_depth(
+            ray_origins,
+            ray_directions,
+            blocking_primitives_corners,
+            blocking_primitives_spans,
+            blocking_primitives_normals,
+            primitive_valid,
+            distances_for_cull,
+            own_mask,
+            epsilon,
+            softness,
+            ray_origin_offset,
+        )
+    else:
+        chunk = primitive_chunk
+        num_chunks = -(-number_of_primitives // chunk)
+        pad = num_chunks * chunk - number_of_primitives
+
+        def pad_primitives(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)]
+            ).reshape(num_chunks, chunk, *x.shape[1:])
+
+        corners_c = pad_primitives(blocking_primitives_corners)
+        spans_c = pad_primitives(blocking_primitives_spans)
+        normals_c = pad_primitives(blocking_primitives_normals)
+        valid_c = jnp.concatenate(
+            [primitive_valid, jnp.zeros((pad,), bool)]
+        ).reshape(num_chunks, chunk)
+        own_c = (
+            jnp.concatenate(
+                [own_mask, jnp.zeros((number_of_heliostats, pad), bool)], axis=1
+            )
+            .reshape(number_of_heliostats, num_chunks, chunk)
+            .swapaxes(0, 1)
+            if own_mask is not None
+            else jnp.zeros((num_chunks, number_of_heliostats, chunk), bool)
+        )
+
+        @jax.checkpoint
+        def chunk_body(carry, chunk_data):
+            corners_i, spans_i, normals_i, valid_i, own_i = chunk_data
+            partial = _chunk_optical_depth(
+                ray_origins,
+                ray_directions,
+                corners_i,
+                spans_i,
+                normals_i,
+                valid_i,
+                distances_for_cull,
+                own_i if ray_primitive_indices is not None else None,
+                epsilon,
+                softness,
+                ray_origin_offset,
+            )
+            return carry + partial, None
+
+        init = jnp.zeros(ray_directions.shape[:3], dtype=jnp.float32)
+        sigma_sum, _ = jax.lax.scan(
+            chunk_body, init, (corners_c, spans_c, normals_c, valid_c, own_c)
+        )
+
+    optical_depth = alpha * sigma_sum
     return 1.0 - jnp.exp(-optical_depth)

@@ -42,6 +42,9 @@ class RenderConfig:
     ray_chunk: int | None = None  # chunk size along the ray axis (None = all)
     splat_method: str = "auto"  # pallas on TPU, XLA scatter on CPU
     blocking_active: bool = False
+    # Chunk size along the blocking-primitive axis: bounds blocking memory to
+    # O(M R P chunk) for fields with many blockers (None = single pass).
+    primitive_chunk: int | None = None
     # Rematerialize each ray chunk in the backward pass instead of storing
     # its residuals: trades recompute FLOPs for O(chunk) instead of O(rays)
     # activation memory - the standard TPU HBM trade for scan bodies.
@@ -161,6 +164,7 @@ def trace_rays(
                 blocking_primitives_normals=normals,
                 intersection_distances_target=distances,
                 ray_primitive_indices=ray_primitive_indices,
+                primitive_chunk=config.primitive_chunk,
             )
         else:
             blocked = jnp.zeros_like(intensities)

@@ -220,3 +220,64 @@ class TestKinematics:
             theirs.active_surface_normals.detach().numpy(),
             atol=1e-4,
         )
+
+
+class TestInvalidMotorPositionDiagnostics:
+    """reference: artist/field/kinematics_rigid_body.py:493-500."""
+
+    def test_validity_mask_and_warning(self, tpu_scenario, caplog):
+        import logging
+
+        import jax
+
+        ours = tpu_scenario.heliostat_groups[0]
+        # Narrow the motor limits so no solution can be valid.
+        from artist_tpu.util import indices
+
+        squeezed = np.asarray(ours.actuator_non_optimizable).copy()
+        squeezed[:, indices.actuator_min_motor_position] = 0.0
+        squeezed[:, indices.actuator_max_motor_position] = 1.0
+
+        normals = jnp.asarray([[0.0, -0.2, 0.98, 0.0]], dtype=jnp.float32)
+        motor, valid = rigid_body.motor_positions_from_normals(
+            normals,
+            ours.rotation_deviations,
+            ours.actuator_type,
+            jnp.asarray(squeezed),
+            ours.actuator_optimizable,
+            return_validity=True,
+        )
+        assert motor.shape == (1, 2)
+        assert not bool(valid[0])
+
+        # Wide limits -> valid.
+        _, valid_wide = rigid_body.motor_positions_from_normals(
+            normals,
+            ours.rotation_deviations,
+            ours.actuator_type,
+            ours.actuator_non_optimizable,
+            ours.actuator_optimizable,
+            return_validity=True,
+        )
+        assert bool(valid_wide[0])
+
+        # The alignment path surfaces the warning via host callback,
+        # including under jit.
+        with caplog.at_level(logging.WARNING, logger="artist_tpu.field"):
+            orientations, _ = jax.jit(
+                lambda: rigid_body.incident_ray_directions_to_orientations(
+                    jnp.asarray([[0.0, 1.0, 0.0, 0.0]], dtype=jnp.float32),
+                    jnp.asarray([[0.0, -50.0, 30.0, 1.0]], dtype=jnp.float32),
+                    ours.positions,
+                    ours.translation_deviations,
+                    ours.rotation_deviations,
+                    ours.actuator_type,
+                    jnp.asarray(squeezed),
+                    ours.actuator_optimizable,
+                )
+            )()
+            jax.block_until_ready(orientations)
+        assert any(
+            "No valid motor position combination" in record.message
+            for record in caplog.records
+        )

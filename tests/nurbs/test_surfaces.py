@@ -174,3 +174,24 @@ class TestEvaluation:
         pts, _ = evaluate_nurbs_surfaces(params, (3, 3), eval_pts)
         err = np.abs(np.asarray(pts[..., :3]) - np.asarray(target)).mean()
         assert err < 1e-2, f"mean abs error {err}"
+
+
+def test_validate_uniform_knot_vectors():
+    """Non-uniform knots must be rejected loudly (reference's search branch
+    at artist/nurbs/surfaces.py:157-245 is unreachable from its pipelines)."""
+    import numpy as np
+    import pytest
+
+    from artist_tpu.nurbs.surfaces import validate_uniform_knot_vectors
+
+    degree, n_ctrl = 3, 6
+    uniform = np.concatenate(
+        [np.zeros(degree), np.linspace(0, 1, n_ctrl - degree + 1), np.ones(degree)]
+    )
+    validate_uniform_knot_vectors(uniform, degree)  # does not raise
+    validate_uniform_knot_vectors(np.stack([uniform, uniform]), degree)
+
+    non_uniform = uniform.copy()
+    non_uniform[degree + 1] += 0.07
+    with pytest.raises(ValueError, match="Non-uniform knot vectors"):
+        validate_uniform_knot_vectors(non_uniform, degree)

@@ -61,6 +61,50 @@ def _data():
     }
 
 
+def test_kinematics_reconstruction_ragged_sample_counts():
+    """Unequal per-heliostat calibration counts must not cross block
+    boundaries: each heliostat's loss reduction only sees its own samples.
+
+    AA39 gets 3 samples and AA31 (same rigid_body_linear group) 2 (re-using AA39's measurement files - the
+    parser binds files by mapping, not content), so the sample blocks are
+    ragged ([0,3) vs [3,5))."""
+    if not SCENARIO.exists():
+        pytest.skip("reference scenario data not available")
+    scenario = load_scenario_from_hdf5(
+        SCENARIO, number_of_surface_points_per_facet=(8, 8)
+    )
+    props = [
+        FIELD_DATA / f"AA39-calibration-properties_{i}.json" for i in (1, 2, 3)
+    ]
+    pngs = [FIELD_DATA / f"AA39-flux-centered_{i}.png" for i in (1, 2, 3)]
+    data = {
+        constants.data_parser: PaintCalibrationDataParser(),
+        constants.heliostat_data_mapping: [
+            ("AA39", props, pngs),
+            ("AA31", props[:2], pngs[:2]),
+        ],
+    }
+    reconstructor = KinematicsReconstructor(
+        scenario=scenario,
+        data=data,
+        optimization_configuration=_configuration(12),
+        reconstruction_method=constants.kinematics_reconstruction_alignment,
+        bitmap_resolution=(64, 64),
+    )
+    final_loss, results = reconstructor.reconstruct_kinematics("angle")
+
+    assert len(results) == 1
+    active = results[0].active_heliostat_indices
+    assert active.shape[0] == 2  # AA39 and AA31 both calibrated
+    history = results[0].loss_history
+    assert history[-1] < history[0]
+    # Identical measurements for both heliostats except the extra AA39 sample:
+    # per-heliostat losses must be finite and per-heliostat, not pooled.
+    per_heliostat = results[0].final_loss_per_heliostat
+    assert per_heliostat.shape == (2,)
+    assert np.isfinite(per_heliostat).all()
+
+
 def test_invalid_method_raises():
     with pytest.raises(ValueError, match="unknown"):
         KinematicsReconstructor(

@@ -142,3 +142,51 @@ def test_reduce_loss_per_sample_matches(torch_losses):
         ours.reduce_loss_per_sample(jnp.asarray(per_sample), 4, "median")
     )
     np.testing.assert_allclose(mine_median, theirs_median, rtol=1e-6)
+
+
+def test_focal_spot_loss_from_bitmaps_matches(reference_artist, reference_scenario_dir):
+    """FocalSpotLoss with ground-truth BITMAPS: the measured center of mass
+    is recomputed and mapped to world coordinates like the reference
+    (artist/optim/loss.py:124-248)."""
+    import h5py
+    import torch
+    from artist.optim.loss import FocalSpotLoss
+    from artist.scenario import Scenario
+
+    from artist_tpu.scenario import load_scenario_from_hdf5
+
+    scenario_path = reference_scenario_dir / "test_scenario_paint_single_heliostat.h5"
+    with h5py.File(scenario_path) as f:
+        ref_scenario = Scenario.load_scenario_from_hdf5(
+            scenario_file=f,
+            number_of_surface_points_per_facet=torch.tensor([4, 4]),
+            device=torch.device("cpu"),
+        )
+    tpu_scenario = load_scenario_from_hdf5(
+        scenario_path, number_of_surface_points_per_facet=(4, 4)
+    )
+
+    rng = np.random.RandomState(12)
+    prediction = rng.rand(3, 16, 16).astype(np.float32)
+    measured = rng.rand(3, 16, 16).astype(np.float32)
+    target_indices = np.zeros(3, dtype=np.int64)
+
+    theirs = (
+        FocalSpotLoss(scenario=ref_scenario)(
+            prediction=torch.from_numpy(prediction),
+            ground_truth=torch.from_numpy(measured),
+            target_area_indices=torch.from_numpy(target_indices),
+            device=torch.device("cpu"),
+        )
+        .detach()
+        .numpy()
+    )
+    mine = np.asarray(
+        ours.focal_spot_loss(
+            jnp.asarray(prediction),
+            jnp.asarray(measured),
+            tpu_scenario.solar_tower,
+            jnp.asarray(target_indices),
+        )
+    )
+    np.testing.assert_allclose(mine, theirs, rtol=1e-4, atol=1e-5)

@@ -183,3 +183,67 @@ def test_blocking_reduces_flux(reference_blocking_flux):
     assert (
         flux_on.sum(axis=(1, 2))[blocked] < flux_off.sum(axis=(1, 2))[blocked]
     ).all()
+
+
+def test_primitive_chunking_matches_single_pass():
+    """Chunked scan over primitives (values AND gradients) must equal the
+    single-pass evaluation, including cull semantics and ragged padding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from artist_tpu.raytracing.blocking import soft_ray_blocking_mask
+
+    rng = np.random.RandomState(21)
+    num_heliostats, num_rays, num_points, num_primitives = 3, 2, 5, 7
+    origins = jnp.asarray(
+        rng.rand(num_heliostats, num_points, 4).astype(np.float32) * 4
+    )
+    directions = jnp.asarray(
+        rng.rand(num_heliostats, num_rays, num_points, 4).astype(np.float32) - 0.5
+    )
+    corner_0 = rng.rand(num_primitives, 4).astype(np.float32) * 4
+    span_u = rng.rand(num_primitives, 4).astype(np.float32)
+    span_v = rng.rand(num_primitives, 4).astype(np.float32)
+    corners = jnp.asarray(
+        np.stack(
+            [corner_0, corner_0 + span_u, corner_0 + span_u + span_v, corner_0 + span_v],
+            axis=1,
+        )
+    )
+    spans = jnp.asarray(np.stack([span_u, span_v], axis=1))
+    normals3 = np.cross(span_u[:, :3], span_v[:, :3])
+    normals3 /= np.linalg.norm(normals3, axis=-1, keepdims=True)
+    normals = jnp.asarray(
+        np.concatenate([normals3, np.zeros((num_primitives, 1))], axis=1).astype(
+            np.float32
+        )
+    )
+    target_distances = jnp.asarray(
+        rng.rand(num_heliostats, num_rays, num_points).astype(np.float32) * 10
+    )
+    own = jnp.asarray(np.array([0, 3, 6], np.int32))
+
+    def blocked_sum(origins_, chunk):
+        return jnp.sum(
+            soft_ray_blocking_mask(
+                origins_,
+                directions,
+                corners,
+                spans,
+                normals,
+                intersection_distances_target=target_distances,
+                ray_primitive_indices=own,
+                primitive_chunk=chunk,
+            )
+        )
+
+    reference_value, reference_grad = jax.value_and_grad(blocked_sum)(origins, None)
+    for chunk in (1, 2, 3, 7, 16):
+        value, grad = jax.value_and_grad(blocked_sum)(origins, chunk)
+        np.testing.assert_allclose(
+            float(value), float(reference_value), rtol=1e-5, err_msg=f"chunk={chunk}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(grad), np.asarray(reference_grad), rtol=1e-4, atol=1e-6
+        )
