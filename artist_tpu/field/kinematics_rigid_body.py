@@ -23,6 +23,7 @@ import logging
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from artist_tpu.field import actuators
 from artist_tpu.geometry import transforms
@@ -31,8 +32,10 @@ from artist_tpu.util import indices
 
 log = logging.getLogger("artist_tpu.field")
 
-KINEMATICS_STANDARD_ORIENTATION = jnp.array([0.0, -1.0, 0.0, 0.0], dtype=jnp.float32)
-HOMOGENEOUS_ORIGIN = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=jnp.float32)
+# numpy (not jnp) so importing this module never initializes the XLA
+# backend - jax.distributed.initialize must precede any backend touch.
+KINEMATICS_STANDARD_ORIENTATION = np.array([0.0, -1.0, 0.0, 0.0], dtype=np.float32)
+HOMOGENEOUS_ORIGIN = np.array([0.0, 0.0, 0.0, 1.0], dtype=np.float32)
 
 _P = jax.lax.Precision.HIGHEST
 

@@ -35,6 +35,9 @@ from artist_tpu.flux.bitmap import get_center_of_mass
 from artist_tpu.geometry.coordinates import bitmap_coordinates_to_target_coordinates
 from artist_tpu.geometry.transforms import _normalize
 from artist_tpu.optim import losses, training
+from artist_tpu.parallel import collectives
+from artist_tpu.parallel.env import DistributedSetup
+from artist_tpu.parallel.mesh import put_global
 from artist_tpu.raytracing import RenderConfig, trace_rays
 from artist_tpu.raytracing.render import compute_ray_magnitude
 from artist_tpu.scenario.scenario import Scenario
@@ -42,7 +45,9 @@ from artist_tpu.util import constants
 
 log = logging.getLogger("artist_tpu.optim")
 
-_Z_HAT = jnp.array([0.0, 0.0, 1.0, 0.0], dtype=jnp.float32)
+# numpy so the import never initializes the XLA backend (multi-process
+# setups must call jax.distributed.initialize first).
+_Z_HAT = np.array([0.0, 0.0, 1.0, 0.0], dtype=np.float32)
 
 
 def compute_measured_normals(
@@ -104,6 +109,7 @@ class KinematicsReconstructor:
         bitmap_resolution: tuple[int, int] = (256, 256),
         mesh: jax.sharding.Mesh | None = None,
         seed: int = 7,
+        distributed_setup: DistributedSetup | None = None,
     ) -> None:
         if reconstruction_method not in (
             constants.kinematics_reconstruction_raytracing,
@@ -120,6 +126,9 @@ class KinematicsReconstructor:
         self.reconstruction_method = reconstruction_method
         self.dni = dni
         self.bitmap_resolution = tuple(bitmap_resolution)
+        self.distributed_setup = distributed_setup
+        if mesh is None and distributed_setup is not None:
+            mesh = distributed_setup.mesh
         self.mesh = mesh
         self.seed = seed
 
@@ -283,7 +292,7 @@ class KinematicsReconstructor:
         sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec("heliostats")
         )
-        return tuple(jax.device_put(a, sharding) for a in arrays)
+        return tuple(put_global(a, sharding) for a in arrays)
 
     def _make_batch(
         self,
@@ -337,8 +346,8 @@ class KinematicsReconstructor:
             sharding = jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec("heliostats", "rays")
             )
-            distortions_u = jax.device_put(distortions_u, sharding)
-            distortions_e = jax.device_put(distortions_e, sharding)
+            distortions_u = put_global(distortions_u, sharding)
+            distortions_e = put_global(distortions_e, sharding)
         padded, valid = losses.build_sample_index_matrix(
             np.asarray(mask)[row_heliostats]
         )
@@ -389,6 +398,16 @@ class KinematicsReconstructor:
         results: list[GroupKinematicsResult] = []
         offset = 0
 
+        # Non-nested multi-process mode: each rank reconstructs only its
+        # round-robin share of the groups (reference:
+        # kinematics_reconstructor.py distribution mirrors the surface
+        # reconstructor's, surface_reconstructor.py:883-893).
+        setup = self.distributed_setup
+        local_groups: set[int] | None = None
+        if setup is not None and setup.is_distributed and not setup.is_nested:
+            local_groups = set(setup.groups_to_ranks_mapping.get(setup.rank, []))
+        reconstructed_deviations: dict[int, np.ndarray] = {}
+
         max_epoch = int(self.optimizer_dict[constants.max_epoch])
         tolerance = float(self.optimizer_dict[constants.tolerance])
         log_step = int(self.optimizer_dict.get(constants.log_step, 0)) or max_epoch
@@ -397,6 +416,9 @@ class KinematicsReconstructor:
         )
 
         for group_index, group in enumerate(self.scenario.heliostat_groups):
+            if local_groups is not None and group_index not in local_groups:
+                offset += group.number_of_heliostats
+                continue
             calibration = parser.parse_data_for_reconstruction(
                 heliostat_data_mapping=mapping,
                 heliostat_names=group.names,
@@ -507,6 +529,7 @@ class KinematicsReconstructor:
             self.scenario.heliostat_groups[group_index] = group.replace(
                 rotation_deviations=rotation_deviations
             )
+            reconstructed_deviations[group_index] = np.asarray(rotation_deviations)
             per_heliostat_np = (
                 np.asarray(per_heliostat)
                 if per_heliostat is not None
@@ -524,5 +547,20 @@ class KinematicsReconstructor:
             )
             offset += group.number_of_heliostats
             log.info("Kinematics reconstructed for group %d.", group_index)
+
+        final_loss, results, merged_deviations = (
+            collectives.synchronize_group_results(
+                setup, final_loss, results, reconstructed_deviations,
+                "kinematics_reconstruction",
+            )
+        )
+        for group_index, deviations in merged_deviations.items():
+            if group_index in reconstructed_deviations:
+                continue  # locally reconstructed; scenario already updated
+            self.scenario.heliostat_groups[group_index] = (
+                self.scenario.heliostat_groups[group_index].replace(
+                    rotation_deviations=jnp.asarray(deviations)
+                )
+            )
 
         return final_loss, results

@@ -42,6 +42,9 @@ from artist_tpu.optim.regularizers import (
     ideal_surface_regularizer,
     smoothness_regularizer,
 )
+from artist_tpu.parallel import collectives
+from artist_tpu.parallel.env import DistributedSetup
+from artist_tpu.parallel.mesh import put_global
 from artist_tpu.raytracing import RenderConfig, trace_rays
 from artist_tpu.raytracing.render import compute_ray_magnitude
 from artist_tpu.scenario.scenario import Scenario, update_surfaces
@@ -105,7 +108,16 @@ class SurfaceReconstructor:
         Flux bitmap resolution (width_e, height_u).
     mesh : jax.sharding.Mesh | None
         Optional device mesh with axes ``("heliostats", "rays")``; shards the
-        sample and ray axes of the render.
+        sample and ray axes of the render. Defaults to
+        ``distributed_setup.mesh`` when a setup is given.
+    distributed_setup : DistributedSetup | None
+        Multi-process setup from ``setup_distributed_environment``. When
+        distributed and non-nested, each process reconstructs only its
+        round-robin share of the heliostat groups and results are merged
+        host-side afterwards (reference:
+        artist/optim/surface_reconstructor.py:790-840). In nested mode every
+        process runs every group over the global mesh (the sample/ray
+        sharding's psum replaces the reference's nested-DDP all-reduce).
     """
 
     def __init__(
@@ -119,6 +131,7 @@ class SurfaceReconstructor:
         epsilon: float = 1e-12,
         mesh: jax.sharding.Mesh | None = None,
         seed: int = 7,
+        distributed_setup: DistributedSetup | None = None,
     ) -> None:
         self.scenario = scenario
         self.data = data
@@ -129,6 +142,9 @@ class SurfaceReconstructor:
         self.number_of_surface_points = tuple(number_of_surface_points)
         self.bitmap_resolution = tuple(bitmap_resolution)
         self.epsilon = epsilon
+        self.distributed_setup = distributed_setup
+        if mesh is None and distributed_setup is not None:
+            mesh = distributed_setup.mesh
         self.mesh = mesh
         self.seed = seed
 
@@ -140,14 +156,14 @@ class SurfaceReconstructor:
             return arrays
         spec = jax.sharding.PartitionSpec("heliostats")
         sharding = jax.sharding.NamedSharding(self.mesh, spec)
-        return tuple(jax.device_put(a, sharding) for a in arrays)
+        return tuple(put_global(a, sharding) for a in arrays)
 
     def _shard_distortions(self, du: jnp.ndarray, de: jnp.ndarray):
         if self.mesh is None:
             return du, de
         spec = jax.sharding.PartitionSpec("heliostats", "rays")
         sharding = jax.sharding.NamedSharding(self.mesh, spec)
-        return jax.device_put(du, sharding), jax.device_put(de, sharding)
+        return put_global(du, sharding), put_global(de, sharding)
 
     # ------------------------------------------------------------------ #
 
@@ -475,12 +491,24 @@ class SurfaceReconstructor:
         results: list[GroupReconstructionResult] = []
         offset = 0
 
+        # Non-nested multi-process mode: reconstruct only this rank's
+        # round-robin share of the groups; merged host-side afterwards
+        # (reference: surface_reconstructor.py:883-893).
+        setup = self.distributed_setup
+        local_groups: set[int] | None = None
+        if setup is not None and setup.is_distributed and not setup.is_nested:
+            local_groups = set(setup.groups_to_ranks_mapping.get(setup.rank, []))
+        reconstructed_control_points: dict[int, np.ndarray] = {}
+
         max_epoch = int(self.optimizer_dict[constants.max_epoch])
         tolerance = float(self.optimizer_dict[constants.tolerance])
         log_step = int(self.optimizer_dict.get(constants.log_step, 0)) or max_epoch
         initial_lr = float(self.optimizer_dict[constants.initial_learning_rate])
 
         for group_index, group in enumerate(self.scenario.heliostat_groups):
+            if local_groups is not None and group_index not in local_groups:
+                offset += group.number_of_heliostats
+                continue
             calibration = parser.parse_data_for_reconstruction(
                 heliostat_data_mapping=mapping,
                 heliostat_names=group.names,
@@ -627,6 +655,7 @@ class SurfaceReconstructor:
                 new_group, self.number_of_surface_points
             )
             self.scenario.heliostat_groups[group_index] = new_group
+            reconstructed_control_points[group_index] = np.asarray(control_points)
 
             per_heliostat = (
                 np.asarray(total_per_heliostat)
@@ -645,5 +674,21 @@ class SurfaceReconstructor:
             )
             offset += group.number_of_heliostats
             log.info("Surfaces reconstructed for group %d.", group_index)
+
+        final_loss, results, merged_control_points = (
+            collectives.synchronize_group_results(
+                setup, final_loss, results, reconstructed_control_points,
+                "surface_reconstruction",
+            )
+        )
+        for group_index, control_points in merged_control_points.items():
+            if group_index in reconstructed_control_points:
+                continue  # locally reconstructed; scenario already updated
+            remote_group = self.scenario.heliostat_groups[group_index].replace(
+                nurbs_control_points=jnp.asarray(control_points)
+            )
+            self.scenario.heliostat_groups[group_index] = update_surfaces(
+                remote_group, self.number_of_surface_points
+            )
 
         return final_loss, results

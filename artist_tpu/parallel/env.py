@@ -105,7 +105,15 @@ def setup_distributed_environment(
     heliostat_group_rank = group_ranks.index(rank) if rank in group_ranks else 0
     heliostat_group_world_size = max(1, len(group_ranks))
 
-    mesh = make_mesh(shape=mesh_shape)
+    # Non-nested mode: each process works on its own heliostat groups, so the
+    # mesh spans only the process's local devices (cross-process merging is
+    # host-side, parallel/collectives.py). Nested mode (more processes than
+    # groups): every process runs every group with the sample/ray axes sharded
+    # over a GLOBAL mesh - the reference's nested-DDP all-reduce becomes the
+    # XLA psum that mesh sharding inserts (reference: env.py:231-266,
+    # surface_reconstructor.py:766-777).
+    mesh_devices = jax.devices() if is_nested else jax.local_devices()
+    mesh = make_mesh(devices=mesh_devices, shape=mesh_shape)
     setup = DistributedSetup(
         is_distributed=is_distributed,
         is_nested=is_nested,

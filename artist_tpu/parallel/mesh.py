@@ -70,6 +70,37 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
+def put_global(array, sharding: NamedSharding):
+    """``device_put`` that also works when the sharding spans processes.
+
+    In nested multi-process mode every process holds the full host array
+    (data loading is deterministic and replicated); each process contributes
+    its addressable shards of the global array. Single-process shardings fall
+    through to a plain ``device_put``.
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(array, sharding)
+    host = np.asarray(array)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda index: host[index]
+    )
+
+
+def fetch_global(array) -> np.ndarray:
+    """``np.asarray`` that also works for arrays spanning processes.
+
+    Fully-addressable and fully-replicated arrays fetch directly; arrays
+    sharded across processes are gathered (``process_allgather``) first.
+    """
+    if getattr(array, "is_fully_addressable", True) or getattr(
+        array, "is_fully_replicated", True
+    ):
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(array, tiled=True))
+
+
 def distribute_groups_among_ranks(
     number_of_heliostat_groups: int, world_size: int
 ) -> dict[int, list[int]]:

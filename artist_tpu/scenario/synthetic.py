@@ -152,3 +152,94 @@ def make_synthetic_scenario(
         heliostat_groups=[group],
         heliostat_group_names=[f"{constants.rigid_body_key}_{actuator_type}"],
     )
+
+
+def split_into_groups(scenario: Scenario, number_of_groups: int) -> Scenario:
+    """Split a single-group synthetic scenario into contiguous groups.
+
+    Multi-group test/dry-run scenarios (the reference groups by
+    kinematics/actuator type; here the split is synthetic but structurally
+    identical - a list of independent ``HeliostatGroupState`` pytrees).
+    """
+    import dataclasses
+
+    if len(scenario.heliostat_groups) != 1:
+        raise ValueError("split_into_groups expects a single-group scenario")
+    group = scenario.heliostat_groups[0]
+    total = group.number_of_heliostats
+    if total % number_of_groups:
+        raise ValueError(
+            f"{total} heliostats do not split evenly into {number_of_groups} groups"
+        )
+    size = total // number_of_groups
+    groups = []
+    for start in range(0, total, size):
+        replacements = {}
+        for field in dataclasses.fields(group):
+            value = getattr(group, field.name)
+            if isinstance(value, (jnp.ndarray, np.ndarray)) and value.ndim >= 1 and value.shape[0] == total:
+                replacements[field.name] = value[start : start + size]
+            elif field.name == "names":
+                replacements[field.name] = value[start : start + size]
+        groups.append(group.replace(**replacements))
+    return Scenario(
+        power_plant_position=scenario.power_plant_position,
+        solar_tower=scenario.solar_tower,
+        light_sources=scenario.light_sources,
+        heliostat_groups=groups,
+        heliostat_group_names=[
+            f"{scenario.heliostat_group_names[0]}_{i}" for i in range(number_of_groups)
+        ],
+    )
+
+
+class SyntheticCalibrationParser:
+    """In-memory calibration data (no files) for tests and dry runs.
+
+    Implements the ``parse_data_for_reconstruction`` protocol of
+    :class:`artist_tpu.io.calibration.PaintCalibrationDataParser` with
+    deterministic synthetic focal-spot bitmaps.
+    """
+
+    def __init__(self, samples_per_heliostat: int = 2, seed: int = 7):
+        self.samples_per_heliostat = samples_per_heliostat
+        self.seed = seed
+
+    def parse_data_for_reconstruction(
+        self,
+        heliostat_data_mapping,
+        heliostat_names,
+        target_name_to_index,
+        power_plant_position,
+        bitmap_resolution,
+    ):
+        from artist_tpu.io.calibration import CalibrationData
+
+        num = len(heliostat_names)
+        total = num * self.samples_per_heliostat
+        width, height = int(bitmap_resolution[0]), int(bitmap_resolution[1])
+        yy, xx = np.mgrid[0:height, 0:width]
+        rng = np.random.RandomState(self.seed)
+        centers = rng.uniform(0.3, 0.7, size=(total, 2))
+        flux = np.exp(
+            -(
+                (xx[None] / width - centers[:, :1, None]) ** 2
+                + (yy[None] / height - centers[:, 1:, None]) ** 2
+            )
+            / 0.02
+        ).astype(np.float32)
+        focal_spots = np.tile(
+            np.array([0.0, -3.0, 45.0, 1.0], np.float32), (total, 1)
+        )
+        incident = np.tile(np.array([0.0, 1.0, 0.0, 0.0], np.float32), (total, 1))
+        motors = np.full((total, 2), 30000.0, np.float32)
+        return CalibrationData(
+            flux_measured=flux,
+            focal_spots=focal_spots,
+            incident_ray_directions=incident,
+            motor_positions=motors,
+            active_heliostats_mask=np.full(
+                num, self.samples_per_heliostat, np.int32
+            ),
+            target_area_indices=np.zeros(total, np.int32),
+        )

@@ -2,13 +2,26 @@
 
 Prints ONE JSON line:
     {"metric": "rays_per_second_fwd_bwd", "value": N, "unit": "rays/s",
-     "vs_baseline": R}
+     "vs_baseline": R, ...extra keys...}
 
-The workload is the flagship differentiable render step (align -> scatter ->
-intersect -> splat -> KL loss -> gradient w.r.t. NURBS control points) on a
-synthetic 100-heliostat field at the reference's production scale (50x50
-surface points/facet, 256x256 bitmap; reference:
-examples/field_optimizations/config.yaml:22-40).
+Measurements:
+- ``value``: the flagship differentiable render step (align -> scatter ->
+  intersect -> splat -> KL loss -> gradient w.r.t. NURBS control points) on a
+  synthetic 100-heliostat field at the reference's production scale (50x50
+  surface points/facet, 256x256 bitmap; reference:
+  examples/field_optimizations/config.yaml:22-40).
+- ``blocking_rays_per_second``: the same step with field-wide soft blocking
+  ON (100 blocking primitives, chunked scan over the primitive axis) - the
+  configuration the aim-point optimizer actually pays for.
+- ``est_mfu`` / ``est_hbm_util``: XLA cost-analysis FLOPs and bytes of the
+  compiled step divided by wall time and the chip's peak - a roofline
+  position rather than a hardware-relative ratio. ``roofline_bound`` names
+  the binding resource.
+- ``scaling``: with >1 TPU device, throughput of the identical step sharded
+  over the full ("heliostats", "rays") mesh and the resulting efficiency
+  vs. ideal linear scaling (BASELINE.md's 1 chip -> 1 host row). Skipped on
+  single-chip hosts and on CPU (virtual CPU devices share the same cores,
+  so "scaling" there would be meaningless).
 
 ``vs_baseline`` compares against the torch reference running the SAME
 physics on this host's CPU (the only hardware the reference supports here),
@@ -40,15 +53,36 @@ NUM_RAYS = int(os.environ.get("BENCH_RAYS", 32))
 _SP = int(os.environ.get("BENCH_SURFACE_POINTS", 50))
 SURFACE_POINTS = (_SP, _SP)  # per facet, x4 facets
 RAY_CHUNK = int(os.environ.get("BENCH_RAY_CHUNK", 4))
+PRIMITIVE_CHUNK = int(os.environ.get("BENCH_PRIMITIVE_CHUNK", 16))
 BITMAP = (256, 256)
 STEPS = int(os.environ.get("BENCH_STEPS", 5))
+RUN_BLOCKING = os.environ.get("BENCH_BLOCKING", "1") != "0"
+
+# Peak per-chip numbers for the roofline estimate: (bf16 FLOP/s, HBM B/s).
+# Public figures: v5e 197 TF / 819 GB/s, v4 275 TF / 1228 GB/s,
+# v5p 459 TF / 2765 GB/s, v6e 918 TF / 1640 GB/s.
+_TPU_PEAKS = {
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v4": (275e12, 1228e9),
+    "v5p": (459e12, 2765e9),
+    "v5": (459e12, 2765e9),
+    "v6 lite": (918e12, 1640e9),
+    "v6e": (918e12, 1640e9),
+}
+
+
+def _device_peaks() -> tuple[float, float] | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for name, peaks in _TPU_PEAKS.items():
+        if name in kind:
+            return peaks
+    return None
 
 
 def _warm_remote_compiler() -> None:
     """Pay the remote compile service's one-time spin-up (~minutes) on a
     small program so the big step's compile time is its own."""
-    import jax.numpy as jnp
-
     from artist_tpu.nurbs import create_nurbs_evaluation_grid, evaluate_nurbs_surfaces
 
     jax.block_until_ready(
@@ -60,11 +94,29 @@ def _warm_remote_compiler() -> None:
     )
 
 
-def bench_tpu() -> float:
+def _cost_analysis(compiled) -> tuple[float, float]:
+    """(flops, bytes accessed) of a compiled step; (0, 0) if unavailable."""
+    try:
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0)), float(
+            analysis.get("bytes accessed", 0.0)
+        )
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        return 0.0, 0.0
+
+
+def _build_step(blocking: bool, mesh=None):
+    """The flagship differentiable step; returns (jitted step, args, rays)."""
     from artist_tpu.field import heliostat_group as hg
     from artist_tpu.field.solar_tower import get_centers_of_target_areas
     from artist_tpu.optim import losses
+    from artist_tpu.parallel.mesh import put_global
     from artist_tpu.raytracing import RenderConfig, trace_rays
+    from artist_tpu.raytracing.blocking import (
+        create_blocking_primitives_rectangles_by_index,
+    )
     from artist_tpu.scenario.synthetic import make_synthetic_scenario
 
     scenario = make_synthetic_scenario(
@@ -87,7 +139,23 @@ def bench_tpu() -> float:
         jax.random.PRNGKey(7), num_points, num
     )
     ground_truth = jnp.ones((num, BITMAP[1], BITMAP[0]), jnp.float32)
-    config = RenderConfig(bitmap_resolution=BITMAP, ray_chunk=RAY_CHUNK)
+    config = RenderConfig(
+        bitmap_resolution=BITMAP,
+        ray_chunk=RAY_CHUNK,
+        blocking_active=blocking,
+        primitive_chunk=PRIMITIVE_CHUNK if blocking else None,
+    )
+
+    if mesh is not None:
+        ray_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("heliostats", "rays")
+        )
+        sample_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("heliostats")
+        )
+        distortions_u = put_global(distortions_u, ray_sharding)
+        distortions_e = put_global(distortions_e, ray_sharding)
+        ground_truth = put_global(ground_truth, sample_sharding)
 
     # All large arrays (scene state, distortions, ground truth) enter as jit
     # ARGUMENTS: closure-captured concrete arrays get inlined into the HLO as
@@ -117,6 +185,14 @@ def bench_tpu() -> float:
                 active, aim_points, incident
             )
         )
+        if blocking:
+            primitives = create_blocking_primitives_rectangles_by_index(
+                aligned_points
+            )
+            primitive_indices = active_indices
+        else:
+            primitives = None
+            primitive_indices = None
         flux, _, _, _ = trace_rays(
             tower=tower,
             aligned_surface_points=aligned_points,
@@ -125,34 +201,49 @@ def bench_tpu() -> float:
             target_area_indices=target_indices,
             distortions_u=du,
             distortions_e=de,
+            blocking_primitives=primitives,
+            ray_primitive_indices=primitive_indices,
             config=config,
         )
         return jnp.mean(losses.kl_divergence_loss(flux, ground_truth))
 
     step = jax.jit(jax.value_and_grad(loss_fn))
-    control_points = group.nurbs_control_points
+    args = (
+        group.nurbs_control_points,
+        group,
+        distortions_u,
+        distortions_e,
+        ground_truth,
+    )
+    return step, args, num * NUM_RAYS * num_points
 
-    # Warmup (compile).
+
+def _measure(step, args, label: str) -> dict:
+    """Compile + time a step; returns timing and cost-analysis numbers."""
+    lowered = step.lower(*args)
     compile_start = time.perf_counter()
-    loss, grads = step(control_points, group, distortions_u, distortions_e, ground_truth)
+    compiled = lowered.compile()
+    compile_seconds = time.perf_counter() - compile_start
+    flops, bytes_accessed = _cost_analysis(compiled)
+
+    loss, grads = compiled(*args)
     jax.block_until_ready((loss, grads))
+    start = time.perf_counter()
+    for _ in range(STEPS):
+        loss, grads = compiled(*args)
+    jax.block_until_ready((loss, grads))
+    elapsed = (time.perf_counter() - start) / STEPS
     print(
-        f"compile+first step: {time.perf_counter() - compile_start:.1f}s "
+        f"{label}: compile {compile_seconds:.1f}s, step {elapsed:.3f}s "
         f"(loss {float(loss):.4f})",
         file=sys.stderr,
     )
-
-    start = time.perf_counter()
-    for _ in range(STEPS):
-        loss, grads = step(
-            control_points, group, distortions_u, distortions_e, ground_truth
-        )
-    jax.block_until_ready((loss, grads))
-    elapsed = (time.perf_counter() - start) / STEPS
-    print(f"step time: {elapsed:.3f}s", file=sys.stderr)
-
-    rays = num * NUM_RAYS * num_points
-    return rays / elapsed
+    return {
+        "step_seconds": elapsed,
+        "compile_seconds": compile_seconds,
+        "flops": flops,
+        "bytes": bytes_accessed,
+    }
 
 
 def bench_torch_reference() -> float:
@@ -200,8 +291,8 @@ def bench_torch_reference() -> float:
             number_of_evaluation_points=torch.tensor(list(points)), device=device
         )[None, None].expand(num, group.active_canting.shape[1], -1, -1)
 
-        # The same differentiated step as bench_tpu: NURBS rebuild -> sample
-        # -> align -> trace -> loss -> grad w.r.t. control points (the
+        # The same differentiated step as the TPU bench: NURBS rebuild ->
+        # sample -> align -> trace -> loss -> grad w.r.t. control points (the
         # reference's surface-reconstruction hot loop,
         # artist/optim/surface_reconstructor.py:476-591).
         def step():
@@ -253,7 +344,62 @@ def bench_torch_reference() -> float:
 
 def main() -> None:
     _warm_remote_compiler()
-    tpu_rays_per_second = bench_tpu()
+
+    step, args, rays = _build_step(blocking=False)
+    plain = _measure(step, args, "fwd+bwd")
+    rays_per_second = rays / plain["step_seconds"]
+
+    result = {
+        "metric": "rays_per_second_fwd_bwd",
+        "value": round(rays_per_second, 1),
+        "unit": "rays/s",
+        "compile_seconds": round(plain["compile_seconds"], 1),
+        "device": jax.devices()[0].device_kind,
+    }
+
+    # Roofline position from XLA's analytical cost model.
+    peaks = _device_peaks()
+    if plain["flops"] and plain["step_seconds"]:
+        achieved_flops = plain["flops"] / plain["step_seconds"]
+        result["achieved_tflops"] = round(achieved_flops / 1e12, 2)
+        if peaks is not None:
+            mfu = achieved_flops / peaks[0]
+            hbm = plain["bytes"] / plain["step_seconds"] / peaks[1]
+            result["est_mfu"] = round(mfu, 4)
+            result["est_hbm_util"] = round(hbm, 4)
+            result["roofline_bound"] = "memory" if hbm > mfu else "compute"
+
+    if RUN_BLOCKING:
+        try:
+            blocking_step, blocking_args, blocking_rays = _build_step(blocking=True)
+            blocked = _measure(blocking_step, blocking_args, "fwd+bwd+blocking")
+            result["blocking_rays_per_second"] = round(
+                blocking_rays / blocked["step_seconds"], 1
+            )
+        except Exception as error:  # noqa: BLE001 - report, don't die
+            print(f"blocking measurement failed: {error}", file=sys.stderr)
+            result["blocking_rays_per_second"] = 0.0
+
+    # Multi-device scaling efficiency (real chips only; virtual CPU devices
+    # share cores, so scaling there measures nothing).
+    devices = jax.devices()
+    if len(devices) > 1 and devices[0].platform == "tpu":
+        from artist_tpu.parallel import make_mesh
+
+        n = len(devices)
+        ray_shards = 2 if n % 2 == 0 else 1
+        mesh = make_mesh(shape=(n // ray_shards, ray_shards))
+        sharded_step, sharded_args, sharded_rays = _build_step(
+            blocking=False, mesh=mesh
+        )
+        sharded = _measure(sharded_step, sharded_args, f"fwd+bwd x{n}dev")
+        sharded_rays_per_second = sharded_rays / sharded["step_seconds"]
+        result["scaling"] = {
+            "devices": n,
+            "rays_per_second": round(sharded_rays_per_second, 1),
+            "efficiency": round(sharded_rays_per_second / (n * rays_per_second), 3),
+        }
+
     if os.environ.get("BENCH_SKIP_BASELINE") == "1":
         baseline = 0.0
     else:
@@ -262,17 +408,8 @@ def main() -> None:
         except Exception as error:  # noqa: BLE001 - baseline is best-effort
             print(f"baseline measurement failed: {error}", file=sys.stderr)
             baseline = 0.0
-    vs_baseline = tpu_rays_per_second / baseline if baseline > 0 else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "rays_per_second_fwd_bwd",
-                "value": round(tpu_rays_per_second, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(vs_baseline, 2),
-            }
-        )
-    )
+    result["vs_baseline"] = round(rays_per_second / baseline, 2) if baseline > 0 else 0.0
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
