@@ -249,9 +249,14 @@ def _host_callbacks_supported() -> bool:
     program once and caches the answer.
     """
     try:
-        jax.jit(lambda x: jax.debug.callback(lambda _: None, x) or x)(
-            jnp.zeros((), jnp.int32)
-        ).block_until_ready()
+        # ensure_compile_time_eval: the probe usually runs while an outer
+        # train step is being traced; without it the probe's program would
+        # INLINE into the outer trace and stage the callback into the very
+        # computation this function is deciding to protect.
+        with jax.ensure_compile_time_eval():
+            jax.jit(lambda x: jax.debug.callback(lambda _: None, x) or x)(
+                jnp.zeros((), jnp.int32)
+            ).block_until_ready()
         return True
     except Exception:  # noqa: BLE001 - any backend failure means "no"
         log.info(

@@ -341,7 +341,7 @@ def _initial_angle_compensation() -> float:
     return float(axis[indices.e] * angle)
 
 
-def _load_actuators(actuator_group: h5py.Group) -> dict:
+def _load_actuators(actuator_group: h5py.Group, prototype: bool = False) -> dict:
     """Packed actuator parameter tensors from an actuator HDF5 group.
 
     reference: artist/io/h5_scenario_parser.py:373-723.
@@ -360,6 +360,11 @@ def _load_actuators(actuator_group: h5py.Group) -> dict:
         for a in actuator_names
     ]
     if len(set(types)) > 1:
+        # Distinct messages for prototype vs individual mismatches
+        # (reference: artist/io/h5_scenario_parser.py actuator validation,
+        # asserted by tests/scenario/test_scenario.py:53-84).
+        if prototype:
+            raise ValueError("Prototype actuators must all have the same type.")
         raise ValueError(
             "When using the rigid body kinematics, all actuators for a given "
             "heliostat must have the same type."
@@ -502,7 +507,7 @@ def load_scenario_from_hdf5(
             prototypes[constants.kinematics_prototype_key]
         )
         prototype_actuators = _load_actuators(
-            prototypes[constants.actuators_prototype_key]
+            prototypes[constants.actuators_prototype_key], prototype=True
         )
 
         grouped = defaultdict(lambda: defaultdict(list))
