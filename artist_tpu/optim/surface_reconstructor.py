@@ -291,6 +291,11 @@ class SurfaceReconstructor:
             unique_cp = jnp.take(control_points, batch["unique_heliostats"], axis=0)
             smooth = smoothness_regularizer(unique_cp, original_control_points)
             ideal = ideal_surface_regularizer(unique_cp, original_control_points)
+            # NOTE: alpha/beta stay in the autodiff graph - the reference
+            # does not detach them (surface_reconstructor.py:734-747), so
+            # d(alpha * smooth)/d cp largely cancels once the regularizer
+            # value dwarfs epsilon; stopping their gradient changes the
+            # optimization trajectory measurably (convergence-parity test).
             alpha = (
                 weight_smoothness
                 * jnp.mean(flux_loss_per_heliostat)
@@ -301,8 +306,6 @@ class SurfaceReconstructor:
                 * jnp.mean(flux_loss_per_heliostat)
                 / (jnp.mean(ideal) + epsilon)
             )
-            alpha = jax.lax.stop_gradient(alpha)
-            beta = jax.lax.stop_gradient(beta)
 
             total_per_heliostat = (
                 flux_loss_per_heliostat
