@@ -77,7 +77,15 @@ def put_global(array, sharding: NamedSharding):
     (data loading is deterministic and replicated); each process contributes
     its addressable shards of the global array. Single-process shardings fall
     through to a plain ``device_put``.
+
+    Axes whose size does not divide their shard count (small calibration
+    batches on a wide mesh) fall back to replication instead of erroring -
+    the computation stays correct, just unsharded along that batch.
     """
+    try:
+        sharding.shard_shape(np.shape(array))
+    except Exception:
+        sharding = NamedSharding(sharding.mesh, PartitionSpec())
     if sharding.is_fully_addressable:
         return jax.device_put(array, sharding)
     host = np.asarray(array)

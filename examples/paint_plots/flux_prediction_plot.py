@@ -17,6 +17,8 @@ import os
 import pathlib
 import sys
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
 # The container's sitecustomize may force-select a TPU backend in-config,
 # overriding the JAX_PLATFORMS env var; honor an explicit CPU request.
 if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
@@ -76,8 +78,51 @@ def build_scenario(data_dir: pathlib.Path, heliostat: str) -> pathlib.Path:
     return scenario_path
 
 
+def plot_from_results(results_file: pathlib.Path, plots_dir: pathlib.Path) -> None:
+    """Measured / ideal / fitted comparison grid from the pipeline's results.
+
+    reference: examples/paint_plots/flux_prediction_plot.py:50-136 - one row
+    per heliostat, one column per source, each image max-normalized.
+    """
+    results = dict(np.load(results_file))
+    names = sorted({key.split("/")[0] for key in results})
+    columns = [("utis", "Measured (UTIS)"), ("ideal", "Ideal surface"),
+               ("fitted", "Fitted surface")]
+    fig, axes = plt.subplots(
+        len(names), len(columns), figsize=(4 * len(columns), 4 * len(names)),
+        squeeze=False,
+    )
+    for row, name in enumerate(names):
+        for column, (key, title) in enumerate(columns):
+            axis = axes[row][column]
+            image = results.get(f"{name}/{key}")
+            if image is None:
+                axis.axis("off")
+                continue
+            peak = image.max() or 1.0
+            axis.imshow(image / peak, cmap="inferno")
+            axis.set_title(f"{name}: {title}")
+            axis.set_xticks([])
+            axis.set_yticks([])
+    fig.tight_layout()
+    plots_dir.mkdir(parents=True, exist_ok=True)
+    output = plots_dir / "flux_prediction.pdf"
+    fig.savefig(output, dpi=300, bbox_inches="tight")
+    print(f"plot written to {output}")
+
+
 def main() -> None:
     set_logger_config()
+    # Pipeline mode: plot the results file written by
+    # flux_prediction_raytracing.py when it exists.
+    if len(sys.argv) > 1 and sys.argv[1].endswith(".npz"):
+        results_file = pathlib.Path(sys.argv[1])
+        plots_dir = pathlib.Path(
+            sys.argv[2] if len(sys.argv) > 2 else results_file.parent / "plots"
+        )
+        plot_from_results(results_file, plots_dir)
+        return
+
     data_dir = pathlib.Path(
         sys.argv[1] if len(sys.argv) > 1 else "/root/reference/tests/data/field_data"
     )
