@@ -276,12 +276,7 @@ def _warn_invalid_motor_positions(valid: jnp.ndarray) -> None:
     traced computation itself stays pure. No-op on backends without host
     callback support.
     """
-    if not _host_callbacks_supported():
-        return
-
     def callback(valid_host) -> None:
-        import numpy as np
-
         invalid = np.nonzero(~np.asarray(valid_host))[0]
         if invalid.size:
             log.warning(
@@ -290,6 +285,16 @@ def _warn_invalid_motor_positions(valid: jnp.ndarray) -> None:
                 invalid.tolist(),
             )
 
+    if not isinstance(valid, jax.core.Tracer):
+        # Eager call (e.g. the aim-point initial alignment): log directly.
+        # fetch_global handles masks sharded over a multi-process mesh,
+        # which jax.debug.callback cannot fetch.
+        from artist_tpu.parallel.mesh import fetch_global
+
+        callback(fetch_global(valid))
+        return
+    if not _host_callbacks_supported():
+        return
     jax.debug.callback(callback, valid)
 
 

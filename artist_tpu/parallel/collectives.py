@@ -149,13 +149,26 @@ def synchronize_group_results(
         return final_loss, results, group_payloads
     gathered = all_gather_object((final_loss, results, group_payloads), tag)
     merged_loss = np.minimum.reduce([rank_data[0] for rank_data in gathered])
+
+    def owner_of(group_index: int) -> int:
+        """First rank owning the group - the reference's broadcast source
+        (surface_reconstructor.py:820-826, indices.first_rank_from_group)."""
+        owners = distributed_setup.ranks_to_groups_mapping.get(group_index)
+        return owners[0] if owners else 0
+
     merged_results: dict[int, Any] = {}
     merged_payloads: dict[int, Any] = {}
-    for _, rank_results, rank_payloads in gathered:
+    for source_rank, (_, rank_results, rank_payloads) in enumerate(gathered):
         for result in rank_results:
-            merged_results.setdefault(result.group_index, result)
+            if source_rank == owner_of(result.group_index):
+                merged_results[result.group_index] = result
+            else:
+                merged_results.setdefault(result.group_index, result)
         for group_index, payload in rank_payloads.items():
-            merged_payloads.setdefault(group_index, payload)
+            if source_rank == owner_of(group_index):
+                merged_payloads[group_index] = payload
+            else:
+                merged_payloads.setdefault(group_index, payload)
     ordered = [merged_results[index] for index in sorted(merged_results)]
     return merged_loss, ordered, merged_payloads
 

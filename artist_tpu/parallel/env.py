@@ -27,7 +27,11 @@ log = logging.getLogger("artist_tpu.parallel")
 class DistributedSetup:
     """Process-level distribution info (mirrors the reference's DdpSetup).
 
-    reference: artist/util/env.py:14-27.
+    reference: artist/util/env.py:14-27. The reference's subgroup fields
+    (``heliostat_group_rank`` / ``heliostat_group_world_size`` /
+    ``process_subgroup``) have no equivalent here: within a group, work
+    splits across devices via the ``mesh`` axes and XLA collectives, not
+    via process subgroups.
     """
 
     is_distributed: bool
@@ -36,8 +40,6 @@ class DistributedSetup:
     world_size: int
     groups_to_ranks_mapping: dict[int, list[int]]
     ranks_to_groups_mapping: dict[int, list[int]] = field(default_factory=dict)
-    heliostat_group_rank: int = 0
-    heliostat_group_world_size: int = 1
     mesh: jax.sharding.Mesh | None = None
 
 
@@ -97,13 +99,6 @@ def setup_distributed_environment(
         number_of_heliostat_groups, world_size
     )
     ranks_to_groups = _invert_mapping(groups_to_ranks)
-    group_ranks = []
-    for group, ranks in sorted(ranks_to_groups.items()):
-        if rank in ranks:
-            group_ranks = ranks
-            break
-    heliostat_group_rank = group_ranks.index(rank) if rank in group_ranks else 0
-    heliostat_group_world_size = max(1, len(group_ranks))
 
     # Non-nested mode: each process works on its own heliostat groups, so the
     # mesh spans only the process's local devices (cross-process merging is
@@ -121,8 +116,6 @@ def setup_distributed_environment(
         world_size=world_size,
         groups_to_ranks_mapping=groups_to_ranks,
         ranks_to_groups_mapping=ranks_to_groups,
-        heliostat_group_rank=heliostat_group_rank,
-        heliostat_group_world_size=heliostat_group_world_size,
         mesh=mesh,
     )
     if rank == 0:
