@@ -1,0 +1,627 @@
+"""Pallas TPU kernels for the soft ray-blocking mask.
+
+The XLA formulation of heliostat-on-heliostat blocking materializes
+``[M, R, P, B_chunk]`` dot-product tensors in HBM for every term of the
+soft mask (artist_tpu/raytracing/blocking.py), then rematerializes them in
+the backward scan - at production scale the blocking pass costs ~5x the
+whole unblocked render step. These kernels keep every pair interaction in
+VMEM: rays stream through in blocks, primitives tile across grid steps,
+and each pair tile is pure fp32 VPU work that never touches HBM.
+
+Layout (the part that matters on TPU): pair tiles are
+``[PRIM_TILE=8 sublanes, RAY_BLOCK lanes]``. Ray vectors arrive as 1D
+blocks - already lane-major - so broadcasting them across the 8 primitive
+sublanes is free; per-primitive scalars arrive as ``[8, 1]`` column blocks
+broadcasting across lanes. Putting rays on sublanes instead (the naive
+``x[:, None]`` formulation) forces a Mosaic relayout of every ray vector
+per tile and ran barely faster than the XLA path. Divisions are hoisted:
+the Gram determinant enters as a precomputed reciprocal and the plane
+denominator is inverted once per pair and reused.
+
+Decomposition:
+- ``_cull_kernel``: non-differentiable AABB slab test vs. the target-hit
+  distance; OR-reduces over rays to the per-primitive participation mask
+  (the reference LBVH filter's semantics,
+  artist/raytracing/blocking.py:912-943).
+- ``_sigma_forward_kernel``: the soft mask's optical depth
+  ``sigma[t] = sum_b s(k uc) s(k(1-uc)) s(k vc) s(k(1-vc)) s(k(t-off))``.
+- ``_sigma_bwd_rays_kernel`` / ``_sigma_bwd_prims_kernel``: hand-derived
+  VJP, split in two so each kernel's accumulated output block is revisited
+  only on consecutive grid steps (rays-fast for per-primitive grads,
+  primitives-fast for per-ray grads). Both recompute the pair forward from
+  the streamed inputs - remat in VMEM instead of HBM residuals.
+
+The kernels take PRE-REDUCED per-primitive quantities (``c0.n``, Gram
+entries, reciprocal determinant, ...) as inputs; their cotangents flow
+back through the XLA graph into corners/spans/normals automatically, so
+the custom VJP only covers the pair math.
+
+reference semantics: artist/raytracing/blocking.py:212-354.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RAY_BLOCK = int(os.environ.get("ARTIST_BLOCKING_RAY_BLOCK", 2048))
+# Backward kernels hold ~15 live [8, block] fp32 temporaries.
+BWD_RAY_BLOCK = int(os.environ.get("ARTIST_BLOCKING_BWD_RAY_BLOCK", 2048))
+PRIM_TILE = int(os.environ.get("ARTIST_BLOCKING_PRIM_TILE", 8))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pair_terms(rays, prims, softness, ray_origin_offset):
+    """Shared pair math for one [PRIM_TILE, block] tile.
+
+    ``rays``: tuple of [block] lane vectors; ``prims``: tuple of [tile, 1]
+    columns. All outputs are [tile, block].
+    """
+    ox, oy, oz, dx, dy, dz, ray_valid = rays
+    (
+        nx, ny, nz, ux, uy, uz, vx, vy, vz,
+        c0n, c0u, c0v, suu, svv, suv, inv_det,
+    ) = prims
+
+    row = lambda x: x[None, :]  # noqa: E731 - [block] -> [1, block]
+    o_dot_n = row(ox) * nx + row(oy) * ny + row(oz) * nz
+    o_dot_u = row(ox) * ux + row(oy) * uy + row(oz) * uz
+    o_dot_v = row(ox) * vx + row(oy) * vy + row(oz) * vz
+    d_dot_n = row(dx) * nx + row(dy) * ny + row(dz) * nz
+    d_dot_u = row(dx) * ux + row(dy) * uy + row(dz) * uz
+    d_dot_v = row(dx) * vx + row(dy) * vy + row(dz) * vz
+
+    epsilon = 1e-12
+    denominator_ok = jnp.abs(d_dot_n) >= epsilon
+    denominator = jnp.where(
+        denominator_ok, d_dot_n, jnp.where(d_dot_n >= 0, epsilon, -epsilon)
+    )
+    inv_denominator = 1.0 / denominator
+    t = (c0n - o_dot_n) * inv_denominator
+    in_front = jax.nn.sigmoid(softness * (t - ray_origin_offset))
+
+    proj_u = o_dot_u + t * d_dot_u - c0u
+    proj_v = o_dot_v + t * d_dot_v - c0v
+    u_coord = (proj_u * svv - proj_v * suv) * inv_det
+    v_coord = (proj_v * suu - proj_u * suv) * inv_det
+
+    s1 = jax.nn.sigmoid(softness * u_coord)
+    s2 = jax.nn.sigmoid(softness * (1.0 - u_coord))
+    s3 = jax.nn.sigmoid(softness * v_coord)
+    s4 = jax.nn.sigmoid(softness * (1.0 - v_coord))
+    sigma = s1 * s2 * s3 * s4 * in_front * row(ray_valid)
+    return sigma, (
+        d_dot_u,
+        d_dot_v,
+        inv_denominator,
+        denominator_ok,
+        t,
+        in_front,
+        proj_u,
+        proj_v,
+        u_coord,
+        v_coord,
+        s1,
+        s2,
+        s3,
+        s4,
+    )
+
+
+def _pair_gradients(rays, prims, gbar, softness, ray_origin_offset):
+    """Per-pair cotangents shared by both backward kernels ([tile, block])."""
+    (_, _, _, _, _, _, _, _, _, _, _, _, suu, svv, suv, inv_det) = prims
+    sigma, (
+        d_dot_u,
+        d_dot_v,
+        inv_denominator,
+        denominator_ok,
+        t,
+        in_front,
+        proj_u,
+        proj_v,
+        u_coord,
+        v_coord,
+        s1,
+        s2,
+        s3,
+        s4,
+    ) = _pair_terms(rays, prims, softness, ray_origin_offset)
+
+    k = softness
+    g_uc = gbar * sigma * k * (s2 - s1)
+    g_vc = gbar * sigma * k * (s4 - s3)
+    g_t_front = gbar * sigma * k * (1.0 - in_front)
+
+    g_pu = (g_uc * svv - g_vc * suv) * inv_det
+    g_pv = (g_vc * suu - g_uc * suv) * inv_det
+    g_t = g_t_front + g_pu * d_dot_u + g_pv * d_dot_v
+
+    g_on = -g_t * inv_denominator
+    # d t / d (d.n) = -t / d.n in the differentiable region; the safe-where
+    # clamp has zero gradient (matches jnp.where's VJP in the XLA path).
+    g_dn = jnp.where(denominator_ok, -t * g_t * inv_denominator, 0.0)
+    g_ou = g_pu
+    g_ov = g_pv
+    g_du = g_pu * t
+    g_dv = g_pv * t
+
+    g_c0n = g_t * inv_denominator
+    g_c0u = -g_pu
+    g_c0v = -g_pv
+    g_suu = g_vc * proj_v * inv_det
+    g_svv = g_uc * proj_u * inv_det
+    g_suv = -(g_uc * proj_v + g_vc * proj_u) * inv_det
+    g_inv_det = (g_uc * u_coord + g_vc * v_coord) / inv_det
+    return (
+        sigma,
+        (g_on, g_ou, g_ov, g_dn, g_du, g_dv),
+        (g_c0n, g_c0u, g_c0v, g_suu, g_svv, g_suv, g_inv_det),
+    )
+
+
+def _read_prims(prim_refs):
+    return tuple(ref[:] for ref in prim_refs)  # each [tile, 1]
+
+
+def _sigma_forward_kernel(*refs, softness, ray_origin_offset):
+    ray_refs = refs[:7]
+    prim_refs = refs[7:23]
+    keep_ref = refs[23]
+    out_ref = refs[24]
+    rays = tuple(ref[:] for ref in ray_refs)
+    sigma, _ = _pair_terms(
+        rays, _read_prims(prim_refs), softness, ray_origin_offset
+    )
+    partial = jnp.sum(sigma * keep_ref[:], axis=0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial
+
+
+def _sigma_bwd_rays_kernel(*refs, softness, ray_origin_offset):
+    """Grid (ray_steps, prim_steps): per-ray grads accumulate over prims."""
+    ray_refs = refs[:7]
+    prim_refs = refs[7:23]
+    keep_ref = refs[23]
+    gbar_ref = refs[24]
+    out_refs = refs[25:31]  # g_ox, g_oy, g_oz, g_dx, g_dy, g_dz
+    rays = tuple(ref[:] for ref in ray_refs)
+    prims = _read_prims(prim_refs)
+    gbar = (gbar_ref[:] * rays[6])[None, :] * keep_ref[:]
+    _, ray_grads, _ = _pair_gradients(
+        rays, prims, gbar, softness, ray_origin_offset
+    )
+    g_on, g_ou, g_ov, g_dn, g_du, g_dv = ray_grads
+    nx, ny, nz, ux, uy, uz, vx, vy, vz = prims[:9]
+    partials = (
+        jnp.sum(g_on * nx + g_ou * ux + g_ov * vx, axis=0),
+        jnp.sum(g_on * ny + g_ou * uy + g_ov * vy, axis=0),
+        jnp.sum(g_on * nz + g_ou * uz + g_ov * vz, axis=0),
+        jnp.sum(g_dn * nx + g_du * ux + g_dv * vx, axis=0),
+        jnp.sum(g_dn * ny + g_du * uy + g_dv * vy, axis=0),
+        jnp.sum(g_dn * nz + g_du * uz + g_dv * vz, axis=0),
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for out, partial in zip(out_refs, partials):
+            out[:] = partial
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        for out, partial in zip(out_refs, partials):
+            out[:] = out[:] + partial
+
+
+def _sigma_bwd_prims_kernel(*refs, softness, ray_origin_offset):
+    """Grid (prim_steps, ray_steps): per-prim grads accumulate over rays."""
+    ray_refs = refs[:7]
+    prim_refs = refs[7:23]
+    keep_ref = refs[23]
+    gbar_ref = refs[24]
+    out_refs = refs[25:41]  # 16 per-primitive gradient columns [tile, 1]
+    rays = tuple(ref[:] for ref in ray_refs)
+    prims = _read_prims(prim_refs)
+    gbar = (gbar_ref[:] * rays[6])[None, :] * keep_ref[:]
+    _, ray_grads, prim_scalar_grads = _pair_gradients(
+        rays, prims, gbar, softness, ray_origin_offset
+    )
+    g_on, g_ou, g_ov, g_dn, g_du, g_dv = ray_grads
+    ox, oy, oz, dx, dy, dz, _ = rays
+    row = lambda x: x[None, :]  # noqa: E731
+
+    partials = (
+        # normals, span_u, span_v vector components
+        jnp.sum(g_on * row(ox) + g_dn * row(dx), axis=1, keepdims=True),
+        jnp.sum(g_on * row(oy) + g_dn * row(dy), axis=1, keepdims=True),
+        jnp.sum(g_on * row(oz) + g_dn * row(dz), axis=1, keepdims=True),
+        jnp.sum(g_ou * row(ox) + g_du * row(dx), axis=1, keepdims=True),
+        jnp.sum(g_ou * row(oy) + g_du * row(dy), axis=1, keepdims=True),
+        jnp.sum(g_ou * row(oz) + g_du * row(dz), axis=1, keepdims=True),
+        jnp.sum(g_ov * row(ox) + g_dv * row(dx), axis=1, keepdims=True),
+        jnp.sum(g_ov * row(oy) + g_dv * row(dy), axis=1, keepdims=True),
+        jnp.sum(g_ov * row(oz) + g_dv * row(dz), axis=1, keepdims=True),
+    ) + tuple(
+        jnp.sum(grad, axis=1, keepdims=True) for grad in prim_scalar_grads
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for out, partial in zip(out_refs, partials):
+            out[:] = partial
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        for out, partial in zip(out_refs, partials):
+            out[:] = out[:] + partial
+
+
+def _cull_kernel(*refs):
+    """AABB slab test, OR-reduced over rays (non-differentiable)."""
+    ray_refs = refs[:6]
+    ray_valid_ref = refs[6]
+    t_target_ref = refs[7]
+    own_ref = refs[8]
+    aabb_refs = refs[9:15]
+    prim_index_ref = refs[15]
+    out_ref = refs[16]
+
+    ox, oy, oz, dx, dy, dz = (ref[:] for ref in ray_refs)
+    min_x, min_y, min_z, max_x, max_y, max_z = (ref[:] for ref in aabb_refs)
+    row = lambda x: x[None, :]  # noqa: E731
+
+    entry = jnp.full((min_x.shape[0], ox.shape[0]), -jnp.inf, jnp.float32)
+    exit_ = jnp.full_like(entry, jnp.inf)
+    for o_axis, d_axis, low, high in (
+        (ox, dx, min_x, max_x),
+        (oy, dy, min_y, max_y),
+        (oz, dz, min_z, max_z),
+    ):
+        inverse = 1.0 / (row(d_axis) + 1e-12)
+        t_low = (low - row(o_axis)) * inverse
+        t_high = (high - row(o_axis)) * inverse
+        entry = jnp.maximum(entry, jnp.minimum(t_low, t_high))
+        exit_ = jnp.minimum(exit_, jnp.maximum(t_low, t_high))
+
+    hit = (
+        (exit_ >= entry)
+        & (exit_ > 1e-6)
+        & (entry <= row(t_target_ref[:]))
+        & (row(own_ref[:]) != prim_index_ref[:])
+        & (row(ray_valid_ref[:]) > 0)
+    )
+    partial = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        out_ref[:] = jnp.maximum(out_ref[:], partial)
+
+
+def _pad_axis(x: jnp.ndarray, size: int, value=0.0) -> jnp.ndarray:
+    pad = size - x.shape[-1]
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)], constant_values=value)
+
+
+def _ray_specs(blk: int, count: int, ray_fast: bool):
+    index = (lambda i, j: (j,)) if ray_fast else (lambda i, j: (i,))
+    return [
+        pl.BlockSpec((blk,), index, memory_space=pltpu.VMEM) for _ in range(count)
+    ]
+
+
+def _prim_specs(count: int, ray_fast: bool):
+    index = (lambda i, j: (i, 0)) if ray_fast else (lambda i, j: (j, 0))
+    return [
+        pl.BlockSpec((PRIM_TILE, 1), index, memory_space=pltpu.VMEM)
+        for _ in range(count)
+    ]
+
+
+def cull_primitives_pallas(
+    rays_flat: tuple[jnp.ndarray, ...],
+    ray_valid: jnp.ndarray,
+    t_target: jnp.ndarray,
+    own_index: jnp.ndarray,
+    aabb_min: jnp.ndarray,
+    aabb_max: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-primitive participation mask [B] (hard, non-differentiable)."""
+    total = rays_flat[0].shape[0]
+    number_of_primitives = aabb_min.shape[0]
+    prim_padded = pl.cdiv(number_of_primitives, PRIM_TILE) * PRIM_TILE
+    prim_steps = prim_padded // PRIM_TILE
+    ray_steps = total // RAY_BLOCK
+
+    def column(x, pad_value):
+        return _pad_axis(x[None], prim_padded, value=pad_value).reshape(-1, 1)
+
+    aabb_columns = [
+        column(aabb_min[:, axis], 1e30) for axis in range(3)
+    ] + [column(aabb_max[:, axis], -1e30) for axis in range(3)]
+    prim_index = column(
+        jnp.arange(number_of_primitives, dtype=jnp.float32), -2.0
+    )
+
+    hit_any = pl.pallas_call(
+        _cull_kernel,
+        grid=(prim_steps, ray_steps),  # rays fast: prim output accumulates
+        in_specs=(
+            _ray_specs(RAY_BLOCK, 9, ray_fast=True)
+            + _prim_specs(7, ray_fast=True)
+        ),
+        out_specs=pl.BlockSpec(
+            (PRIM_TILE, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((prim_padded, 1), jnp.float32),
+        interpret=_interpret(),
+    )(*rays_flat, ray_valid, t_target, own_index, *aabb_columns, prim_index)
+    return hit_any[:number_of_primitives, 0] > 0.5
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def blocking_sigma_pallas(
+    ray_components: tuple[jnp.ndarray, ...],
+    ray_valid: jnp.ndarray,
+    primitive_columns: tuple[jnp.ndarray, ...],
+    keep: jnp.ndarray,
+    softness: float,
+    ray_origin_offset: float,
+) -> jnp.ndarray:
+    """Summed soft occlusion sigma per ray (flattened, padded).
+
+    Parameters
+    ----------
+    ray_components : tuple of jnp.ndarray
+        ``(ox, oy, oz, dx, dy, dz)``, each ``[T]`` fp32 with T a multiple of
+        the ray block.
+    ray_valid : jnp.ndarray
+        1.0 for real rays, 0.0 for padding. ``[T]``.
+    primitive_columns : tuple of jnp.ndarray
+        16 columns ``[B_pad, 1]``: nx ny nz ux uy uz vx vy vz c0n c0u c0v
+        suu svv suv inv_det_safe.
+    keep : jnp.ndarray
+        Participation mask column (cull x validity), ``[B_pad, 1]`` fp32;
+        padded primitive slots MUST be 0.
+
+    Returns
+    -------
+    jnp.ndarray
+        ``sigma_sum [T]``.
+    """
+    return _sigma_forward(
+        ray_components, ray_valid, primitive_columns, keep, softness,
+        ray_origin_offset,
+    )
+
+
+def _sigma_forward(
+    ray_components, ray_valid, primitive_columns, keep, softness, ray_origin_offset
+):
+    total = ray_components[0].shape[0]
+    prim_padded = primitive_columns[0].shape[0]
+    ray_steps = total // RAY_BLOCK
+    prim_steps = prim_padded // PRIM_TILE
+    kernel = functools.partial(
+        _sigma_forward_kernel,
+        softness=softness,
+        ray_origin_offset=ray_origin_offset,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(ray_steps, prim_steps),  # prims fast: ray output accumulates
+        in_specs=(
+            _ray_specs(RAY_BLOCK, 7, ray_fast=False)
+            + _prim_specs(17, ray_fast=False)
+        ),
+        out_specs=pl.BlockSpec(
+            (RAY_BLOCK,), lambda i, j: (i,), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((total,), jnp.float32),
+        interpret=_interpret(),
+    )(*ray_components, ray_valid, *primitive_columns, keep)
+
+
+def _sigma_fwd(ray_components, ray_valid, primitive_columns, keep, softness, offset):
+    out = _sigma_forward(
+        ray_components, ray_valid, primitive_columns, keep, softness, offset
+    )
+    return out, (ray_components, ray_valid, primitive_columns, keep)
+
+
+def _sigma_bwd(softness, offset, residuals, gbar):
+    ray_components, ray_valid, primitive_columns, keep, = residuals
+    total = ray_components[0].shape[0]
+    prim_padded = primitive_columns[0].shape[0]
+    ray_steps = total // BWD_RAY_BLOCK
+    prim_steps = prim_padded // PRIM_TILE
+
+    ray_grads = pl.pallas_call(
+        functools.partial(
+            _sigma_bwd_rays_kernel, softness=softness, ray_origin_offset=offset
+        ),
+        grid=(ray_steps, prim_steps),
+        in_specs=(
+            _ray_specs(BWD_RAY_BLOCK, 7, ray_fast=False)
+            + _prim_specs(17, ray_fast=False)
+            + _ray_specs(BWD_RAY_BLOCK, 1, ray_fast=False)
+        ),
+        out_specs=tuple(
+            pl.BlockSpec(
+                (BWD_RAY_BLOCK,), lambda i, j: (i,), memory_space=pltpu.VMEM
+            )
+            for _ in range(6)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((total,), jnp.float32) for _ in range(6)
+        ),
+        interpret=_interpret(),
+    )(*ray_components, ray_valid, *primitive_columns, keep, gbar)
+
+    prim_grads = pl.pallas_call(
+        functools.partial(
+            _sigma_bwd_prims_kernel, softness=softness, ray_origin_offset=offset
+        ),
+        grid=(prim_steps, ray_steps),  # rays fast: prim outputs accumulate
+        in_specs=(
+            _ray_specs(BWD_RAY_BLOCK, 7, ray_fast=True)
+            + _prim_specs(17, ray_fast=True)
+            + _ray_specs(BWD_RAY_BLOCK, 1, ray_fast=True)
+        ),
+        out_specs=tuple(
+            pl.BlockSpec(
+                (PRIM_TILE, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(16)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((prim_padded, 1), jnp.float32)
+            for _ in range(16)
+        ),
+        interpret=_interpret(),
+    )(*ray_components, ray_valid, *primitive_columns, keep, gbar)
+
+    return (tuple(ray_grads), None, tuple(prim_grads), None)
+
+
+blocking_sigma_pallas.defvjp(_sigma_fwd, _sigma_bwd)
+
+
+def soft_ray_blocking_mask_pallas(
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    blocking_primitives_corners: jnp.ndarray,
+    blocking_primitives_spans: jnp.ndarray,
+    blocking_primitives_normals: jnp.ndarray,
+    intersection_distances_target: jnp.ndarray | None = None,
+    ray_primitive_indices: jnp.ndarray | None = None,
+    epsilon: float = 1e-12,
+    softness: float = 1000.0,
+    alpha: float = 100.0,
+    ray_origin_offset: float = 0.05,
+) -> jnp.ndarray:
+    """Drop-in Pallas backend for ``blocking.soft_ray_blocking_mask``.
+
+    Same semantics as the XLA path (same primitive cull, same soft gates,
+    same Beer-Lambert accumulation); all pair interactions stay in VMEM.
+    """
+    number_of_heliostats, number_of_rays, number_of_points = ray_directions.shape[:3]
+    number_of_primitives = blocking_primitives_corners.shape[0]
+
+    # ---- per-primitive quantities (XLA, differentiable) ----
+    corner_0 = blocking_primitives_corners[:, 0, :3]
+    span_u = blocking_primitives_spans[:, 0, :3]
+    span_v = blocking_primitives_spans[:, 1, :3]
+    normals3 = blocking_primitives_normals[:, :3]
+    span_u_sq = jnp.sum(span_u * span_u, axis=-1)
+    span_v_sq = jnp.sum(span_v * span_v, axis=-1)
+    span_uv = jnp.sum(span_u * span_v, axis=-1)
+    det = span_u_sq * span_v_sq - span_uv * span_uv
+    det_safe = jnp.where(
+        jnp.abs(det) < epsilon, jnp.where(det >= 0, epsilon, -epsilon), det
+    )
+
+    prim_padded = pl.cdiv(number_of_primitives, PRIM_TILE) * PRIM_TILE
+
+    def column(x, pad_value=0.0):
+        return _pad_axis(
+            x[None].astype(jnp.float32), prim_padded, value=pad_value
+        ).reshape(-1, 1)
+
+    primitive_columns = (
+        column(normals3[:, 0]),
+        column(normals3[:, 1]),
+        column(normals3[:, 2]),
+        column(span_u[:, 0]),
+        column(span_u[:, 1]),
+        column(span_u[:, 2]),
+        column(span_v[:, 0]),
+        column(span_v[:, 1]),
+        column(span_v[:, 2]),
+        column(jnp.sum(corner_0 * normals3, axis=-1)),
+        column(jnp.sum(corner_0 * span_u, axis=-1)),
+        column(jnp.sum(corner_0 * span_v, axis=-1)),
+        column(span_u_sq, pad_value=1.0),
+        column(span_v_sq, pad_value=1.0),
+        column(span_uv),
+        column(1.0 / det_safe, pad_value=1.0),
+    )
+
+    # ---- rays flattened to one padded axis ----
+    shape = (number_of_heliostats, number_of_rays, number_of_points)
+    total = number_of_heliostats * number_of_rays * number_of_points
+    total_padded = pl.cdiv(total, max(RAY_BLOCK, BWD_RAY_BLOCK)) * max(
+        RAY_BLOCK, BWD_RAY_BLOCK
+    )
+
+    def flat(x):
+        return _pad_axis(x.reshape(1, -1), total_padded)[0]
+
+    origins3 = jnp.broadcast_to(ray_origins[:, None, :, :3], shape + (3,))
+    directions3 = ray_directions[..., :3]
+    ray_components = tuple(
+        flat(origins3[..., axis]) for axis in range(3)
+    ) + tuple(flat(directions3[..., axis]) for axis in range(3))
+    ray_valid = _pad_axis(jnp.ones((1, total), jnp.float32), total_padded)[0]
+
+    # ---- participation mask ----
+    keep = jnp.ones((number_of_primitives,), bool)
+    if intersection_distances_target is not None:
+        aabb_min = jnp.min(blocking_primitives_corners[:, :, :3], axis=1)
+        aabb_max = jnp.max(blocking_primitives_corners[:, :, :3], axis=1)
+        own = (
+            ray_primitive_indices
+            if ray_primitive_indices is not None
+            else jnp.full((number_of_heliostats,), -1, jnp.int32)
+        )
+        own_flat = _pad_axis(
+            jnp.broadcast_to(own[:, None, None], shape)
+            .astype(jnp.float32)
+            .reshape(1, -1),
+            total_padded,
+            value=-1.0,
+        )[0]
+        t_target_flat = flat(intersection_distances_target)
+        keep = keep & jax.lax.stop_gradient(
+            cull_primitives_pallas(
+                tuple(jax.lax.stop_gradient(c) for c in ray_components),
+                ray_valid,
+                jax.lax.stop_gradient(t_target_flat),
+                own_flat,
+                jax.lax.stop_gradient(aabb_min),
+                jax.lax.stop_gradient(aabb_max),
+            )
+        )
+    keep_column = _pad_axis(
+        keep.astype(jnp.float32)[None], prim_padded
+    ).reshape(-1, 1)
+
+    sigma = blocking_sigma_pallas(
+        ray_components,
+        ray_valid,
+        primitive_columns,
+        keep_column,
+        softness,
+        ray_origin_offset,
+    )
+    sigma_sum = sigma[:total].reshape(shape)
+    return 1.0 - jnp.exp(-alpha * sigma_sum)

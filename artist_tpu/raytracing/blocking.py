@@ -302,6 +302,7 @@ def soft_ray_blocking_mask(
     ray_origin_offset: float = 0.05,
     cull_method: str = "dense",
     primitive_chunk: int | None = None,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Soft differentiable blocking mask with Beer-Lambert accumulation.
 
@@ -336,12 +337,37 @@ def soft_ray_blocking_mask(
         Evaluate primitives in chunks of this size under a rematerialized
         ``lax.scan``; peak memory drops from ``O(M R P B)`` to
         ``O(M R P chunk)`` in forward AND backward. None = single pass.
+        XLA path only.
+    method : str
+        ``"pallas"``: fused TPU kernels - every pair interaction stays in
+        VMEM (kernels/blocking_pallas.py), hand-derived VJP, identical
+        semantics. ``"xla"``: the chunked dense formulation. ``"auto"``
+        (default): pallas on TPU, xla elsewhere.
 
     Returns
     -------
     jnp.ndarray
         blocked in [0, 1]. Shape ``[M, R, P]``.
     """
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method == "pallas" and cull_method == "dense":
+        from artist_tpu.kernels.blocking_pallas import soft_ray_blocking_mask_pallas
+
+        return soft_ray_blocking_mask_pallas(
+            ray_origins,
+            ray_directions,
+            blocking_primitives_corners,
+            blocking_primitives_spans,
+            blocking_primitives_normals,
+            intersection_distances_target=intersection_distances_target,
+            ray_primitive_indices=ray_primitive_indices,
+            epsilon=epsilon,
+            softness=softness,
+            alpha=alpha,
+            ray_origin_offset=ray_origin_offset,
+        )
+
     number_of_primitives = blocking_primitives_corners.shape[0]
     number_of_heliostats = ray_origins.shape[0]
 

@@ -44,7 +44,10 @@ class RenderConfig:
     blocking_active: bool = False
     # Chunk size along the blocking-primitive axis: bounds blocking memory to
     # O(M R P chunk) for fields with many blockers (None = single pass).
+    # Applies to the XLA blocking path only.
     primitive_chunk: int | None = None
+    # "pallas" (fused VMEM kernels), "xla", or "auto" (pallas on TPU).
+    blocking_method: str = "auto"
     # Rematerialize each ray chunk in the backward pass instead of storing
     # its residuals: trades recompute FLOPs for O(chunk) instead of O(rays)
     # activation memory - the standard TPU HBM trade for scan bodies.
@@ -165,6 +168,7 @@ def trace_rays(
                 intersection_distances_target=distances,
                 ray_primitive_indices=ray_primitive_indices,
                 primitive_chunk=config.primitive_chunk,
+                method=config.blocking_method,
             )
         else:
             blocked = jnp.zeros_like(intensities)
