@@ -52,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 RAY_BLOCK = int(os.environ.get("ARTIST_BLOCKING_RAY_BLOCK", 2048))
 # Backward kernels hold ~15 live [8, block] fp32 temporaries.
 BWD_RAY_BLOCK = int(os.environ.get("ARTIST_BLOCKING_BWD_RAY_BLOCK", 2048))
-PRIM_TILE = int(os.environ.get("ARTIST_BLOCKING_PRIM_TILE", 8))
+# 16 measured best on v5e at the production shape (8: -5%, 32: -12%).
+PRIM_TILE = int(os.environ.get("ARTIST_BLOCKING_PRIM_TILE", 16))
 
 
 def _interpret() -> bool:

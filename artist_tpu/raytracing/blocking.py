@@ -11,8 +11,10 @@ evaluated **brute force** as dense vectorized math (VPU-friendly), with the
 LBVH's only semantic contribution - "blockers beyond the ray's target hit do
 not block" - reproduced as a hard (stop-gradient) distance gate. This is
 correctness-equivalent to LBVH-cull + soft mask and removes the irregular
-traversal entirely. A primitive-tiling Pallas kernel slots in here when
-fields grow beyond VMEM-friendly sizes.
+traversal entirely. On TPU the pair math runs in the fused Pallas kernels
+of :mod:`artist_tpu.kernels.blocking_pallas` (``method="auto"``); the XLA
+formulation below is the CPU default, the parity anchor against the torch
+reference, and the fallback for ``cull_method="lbvh"``.
 """
 
 from __future__ import annotations
