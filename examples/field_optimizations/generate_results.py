@@ -68,7 +68,7 @@ def _optimization_block(cfg: dict, keys: list[str]) -> dict:
 
 
 @track_runtime
-def kinematics_evaluation(scenario, config: dict, results_dir: pathlib.Path) -> None:
+def kinematics_evaluation(scenario, config, results_dir, distributed_setup=None) -> None:
     cfg = config["kinematics_reconstruction_optimization_configuration"]
     optimization_configuration = {
         constants.optimization: _optimization_block(
@@ -109,6 +109,7 @@ def kinematics_evaluation(scenario, config: dict, results_dir: pathlib.Path) -> 
         reconstruction_method=cfg.get(
             "method", constants.kinematics_reconstruction_alignment
         ),
+        distributed_setup=distributed_setup,
     )
     final_loss, results = reconstructor.reconstruct_kinematics()
     np.savez(
@@ -128,7 +129,7 @@ def kinematics_evaluation(scenario, config: dict, results_dir: pathlib.Path) -> 
 
 
 @track_runtime
-def surface_evaluation(scenario, config: dict, results_dir: pathlib.Path) -> None:
+def surface_evaluation(scenario, config, results_dir, distributed_setup=None) -> None:
     cfg = config["surface_reconstruction_optimization_configuration"]
     optimization_configuration = {
         constants.optimization: _optimization_block(
@@ -175,6 +176,7 @@ def surface_evaluation(scenario, config: dict, results_dir: pathlib.Path) -> Non
             constants.heliostat_data_mapping: build_heliostat_data_mapping(config),
         },
         optimization_configuration=optimization_configuration,
+        distributed_setup=distributed_setup,
     )
     final_loss, results = reconstructor.reconstruct_surfaces("kl_divergence")
     np.savez(
@@ -189,7 +191,7 @@ def surface_evaluation(scenario, config: dict, results_dir: pathlib.Path) -> Non
 
 
 @track_runtime
-def aim_point_evaluation(scenario, config: dict, results_dir: pathlib.Path) -> None:
+def aim_point_evaluation(scenario, config, results_dir, distributed_setup=None) -> None:
     cfg = config["aim_point_optimization_configuration"]
     resolution = (256, 256)
     horizontal = np.asarray(
@@ -245,6 +247,7 @@ def aim_point_evaluation(scenario, config: dict, results_dir: pathlib.Path) -> N
         ground_truth=np.outer(vertical, horizontal),
         dni=float(cfg.get("dni", 800.0)),
         bitmap_resolution=resolution,
+        distributed_setup=distributed_setup,
     )
     final_loss, history, intercepts, on_targets, blockings = optimizer.optimize(
         "kl_divergence"
@@ -303,12 +306,20 @@ def main() -> None:
         scenario_path, number_of_surface_points_per_facet=(points, points)
     )
 
-    if which in ("kinematics", "all"):
-        kinematics_evaluation(scenario, config, results_dir)
-    if which in ("surface", "all"):
-        surface_evaluation(scenario, config, results_dir)
-    if which in ("aim_point", "all"):
-        aim_point_evaluation(scenario, config, results_dir)
+    # Multi-process deployments (one JAX process per host) distribute the
+    # heliostat groups round-robin and merge results automatically; on a
+    # single process this is a no-op wrapper.
+    from artist_tpu.parallel import setup_distributed_environment
+
+    with setup_distributed_environment(
+        number_of_heliostat_groups=len(scenario.heliostat_groups)
+    ) as distributed_setup:
+        if which in ("kinematics", "all"):
+            kinematics_evaluation(scenario, config, results_dir, distributed_setup)
+        if which in ("surface", "all"):
+            surface_evaluation(scenario, config, results_dir, distributed_setup)
+        if which in ("aim_point", "all"):
+            aim_point_evaluation(scenario, config, results_dir, distributed_setup)
     print(f"results written to {results_dir}")
 
 
