@@ -195,3 +195,53 @@ def test_validate_uniform_knot_vectors():
     non_uniform[degree + 1] += 0.07
     with pytest.raises(ValueError, match="Non-uniform knot vectors"):
         validate_uniform_knot_vectors(non_uniform, degree)
+
+
+def test_shared_grid_fast_path_matches_general_path():
+    """The one-matmul shared-grid evaluation equals the batched general
+    path (same grid explicitly broadcast per facet) in values AND
+    control-point gradients."""
+    import jax
+
+    from artist_tpu.nurbs import (
+        create_nurbs_evaluation_grid,
+        evaluate_nurbs_surfaces,
+    )
+
+    key = jax.random.PRNGKey(11)
+    control_points = jax.random.uniform(
+        key, (3, 4, 7, 6, 3), jnp.float32, -1.0, 1.0
+    )
+    grid = create_nurbs_evaluation_grid((9, 8))  # [P, 2] -> fast path
+    broadcast_grid = jnp.broadcast_to(
+        grid[None, None], (3, 4) + grid.shape
+    )  # [S, F, P, 2] -> general path
+
+    fast_points, fast_normals = evaluate_nurbs_surfaces(
+        control_points, (3, 3), grid
+    )
+    general_points, general_normals = evaluate_nurbs_surfaces(
+        control_points, (3, 3), broadcast_grid
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_points), np.asarray(general_points), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_normals), np.asarray(general_normals), atol=1e-5
+    )
+
+    def summarize(evaluation_points):
+        def loss(cp):
+            points, normals = evaluate_nurbs_surfaces(
+                cp, (3, 3), evaluation_points
+            )
+            return jnp.sum(points * points) + jnp.sum(normals)
+
+        return jax.grad(loss)(control_points)
+
+    np.testing.assert_allclose(
+        np.asarray(summarize(grid)),
+        np.asarray(summarize(broadcast_grid)),
+        rtol=1e-4,
+        atol=1e-5,
+    )
