@@ -17,6 +17,6 @@ docstrings cite the corresponding reference implementation as
 ``reference: artist/<path>:<lines>``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from artist_tpu.util.logging_utils import set_logger_config, track_runtime  # noqa: F401
