@@ -17,6 +17,11 @@ at a full PAINT download for production runs; the expected layout is flat:
 
 from __future__ import annotations
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[2]))
+
 import pathlib
 import sys
 

@@ -12,6 +12,11 @@ Usage:
 
 from __future__ import annotations
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[2]))
+
 import pathlib
 import sys
 

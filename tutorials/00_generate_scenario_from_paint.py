@@ -5,6 +5,11 @@ paths at PAINT tower-measurement and heliostat-properties JSON files (the
 reference's test fixtures work out of the box).
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import pathlib
 
 from artist_tpu.io.paint_scenario_parser import (

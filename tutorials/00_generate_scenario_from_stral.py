@@ -5,6 +5,11 @@ reference: tutorials/00_generate_scenario_from_stral_tutorial.py. Point
 the measured normal clouds.
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import pathlib
 
 import numpy as np

@@ -3,6 +3,11 @@
 reference: tutorials/01_single_heliostat_raytracing_tutorial.py.
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import pathlib
 
 import numpy as np

@@ -8,6 +8,11 @@ active-sample and ray axes, and XLA inserts the collectives. Run with
 for a virtual 8-device mesh, or on a real TPU slice unchanged.
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import pathlib
 
 import numpy as np

@@ -3,6 +3,11 @@
 reference: tutorials/03_nurbs_surface_reconstruction_tutorial.py.
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import pathlib
 
 from artist_tpu.io.calibration import PaintCalibrationDataParser

@@ -4,6 +4,11 @@ reference: tutorials/04_kinematics_reconstruction_tutorial.py. Two methods:
 "alignment" (fast, no ray tracing) and "raytracing" (flux-driven).
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import pathlib
 
 from artist_tpu.io.calibration import PaintCalibrationDataParser

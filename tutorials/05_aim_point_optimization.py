@@ -5,6 +5,11 @@ target distribution is imposed on the receiver; all heliostats' motor
 positions are optimized jointly with blocking active.
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import pathlib
 
 import numpy as np
