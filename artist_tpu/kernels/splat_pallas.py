@@ -12,12 +12,16 @@ Performance notes (measured on v5e, 32M rays, 256x256 bitmaps):
 - The row factor is built TRANSPOSED (``[H, B]``) so both matmul operands
   are contraction-minor; building ``[B, H]`` and contracting dim 0 forces a
   Mosaic relayout that doubles the forward time (182 -> 92 ms).
-- One-hot factors are built directly in bf16 (binary values are exact in
-  bf16; the fractional offsets and weights round at ~2^-8 relative, which
-  cancels in the thousands-of-rays-per-pixel sums) and feed the MXU in a
-  single pass. Accumulation stays fp32.
-- Forward blocks are 4096 rays; backward keeps 2048 (its ``g1/g2``
-  intermediates are fp32 and VMEM-bound).
+- Each factor is the tent function ``max(0, 1 - |cell - coord|)`` - ONE
+  vector expression instead of two one-hot compares combined (a further
+  ~35%: 11.2 -> 7.3 ms per 4M-ray chunk forward).
+- Factors are built in bf16 (the fractional weights round at ~2^-8
+  relative, which cancels in the thousands-of-rays-per-pixel sums) and
+  feed the MXU in a single pass. Accumulation stays fp32.
+- Forward blocks are 8192 rays; backward keeps 2048 (its ``g1/g2``
+  intermediates are fp32 and VMEM-bound; 1024-4096 measured within noise,
+  and bf16 ``c0/cd`` bought nothing - the backward is bound by factor
+  construction, not the MXU or VMEM).
 
 The backward pass is two more matmuls per block (``A0 @ g`` and
 ``Ad @ g``), wired up via ``jax.custom_vjp``.
