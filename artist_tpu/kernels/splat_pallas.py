@@ -128,7 +128,7 @@ def _splat_bwd_kernel(
     e_ref,
     u_ref,
     w_ref,
-    g_ref,
+    gt_ref,
     de_ref,
     du_ref,
     dw_ref,
@@ -137,6 +137,16 @@ def _splat_bwd_kernel(
     width: int,
     compute_dtype,
 ):
+    """Backward in fully TRANSPOSED orientation: rays live on LANES.
+
+    Every factor ([H, B] rows, [W, B] cols) broadcasts the 1D ray vectors
+    across sublanes for free - building them [B, H]/[B, W] instead forces a
+    Mosaic relayout of every ray vector per block. The cotangent arrives
+    pre-transposed ([W, H], one cheap XLA transpose per map outside the
+    kernel) so both matmuls have the same lhs-contraction-minor /
+    rhs-contraction-major shape as the forward. The final reductions run
+    over sublanes, landing the [B] outputs lane-major.
+    """
     block = e_ref.shape[0]
     e, u = e_ref[:], u_ref[:]
     lower_e, lower_u, _, _, w, valid = _weights(e, u, w_ref[:], height, width)
@@ -144,40 +154,36 @@ def _splat_bwd_kernel(
     # DERIVATIVE factors ad/cd keep the one-hot compares - the tent's
     # derivative is undefined at exact-integer coordinates, where the
     # reference's two-cell form still assigns (-1, +1) to (lu, lu+1).
-    rows_f = jax.lax.broadcasted_iota(jnp.int32, (block, height), 1).astype(
-        jnp.float32
-    )
-    a0 = jnp.maximum(0.0, 1.0 - jnp.abs(rows_f - u[:, None])).astype(compute_dtype)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block, height), 1)
-    ad = (rows == lower_u[:, None] + 1).astype(compute_dtype) - (
-        rows == lower_u[:, None]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (height, block), 0)
+    a0_t = jnp.maximum(
+        0.0, 1.0 - jnp.abs(rows.astype(jnp.float32) - u[None, :])
+    ).astype(compute_dtype)
+    ad_t = (rows == lower_u[None, :] + 1).astype(compute_dtype) - (
+        rows == lower_u[None, :]
     ).astype(compute_dtype)
 
-    cols_f = jax.lax.broadcasted_iota(jnp.int32, (block, width), 1).astype(
-        jnp.float32
-    )
-    c0 = jnp.maximum(0.0, 1.0 - jnp.abs(cols_f - e[:, None])).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block, width), 1)
-    cd = (
-        (cols == lower_e[:, None] + 1).astype(compute_dtype)
-        - (cols == lower_e[:, None]).astype(compute_dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (width, block), 0)
+    c0_t = jnp.maximum(
+        0.0, 1.0 - jnp.abs(cols.astype(jnp.float32) - e[None, :])
+    ).astype(jnp.float32)
+    cd_t = (
+        (cols == lower_e[None, :] + 1).astype(compute_dtype)
+        - (cols == lower_e[None, :]).astype(compute_dtype)
     ).astype(jnp.float32)
 
-    g = g_ref[0].astype(compute_dtype)  # [H, W]
-    # g1[b, c] = sum_r a0[b, r] g[r, c];  g2 likewise with the row
-    # derivative. (Stacking [a0; ad] into one matmul measured identical -
-    # the backward is factor-construction-bound, not MXU-bound.)
-    g1 = jax.lax.dot_general(
-        a0, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    gt = gt_ref[0].astype(compute_dtype)  # [W, H]
+    # g1_t[c, b] = sum_r gt[c, r] a0_t[r, b]; g2_t likewise.
+    g1_t = jax.lax.dot_general(
+        gt, a0_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    g2 = jax.lax.dot_general(
-        ad, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    g2_t = jax.lax.dot_general(
+        gt, ad_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     # Invalid rays deposited nothing in the forward pass: their one-hot
     # factors must not leak gradient into dw.
-    dw_ref[:] = jnp.where(valid, jnp.sum(g1 * c0, axis=1), 0.0)
-    de_ref[:] = w * jnp.sum(g1 * cd, axis=1)
-    du_ref[:] = w * jnp.sum(g2 * c0, axis=1)
+    dw_ref[:] = jnp.where(valid, jnp.sum(g1_t * c0_t, axis=0), 0.0)
+    de_ref[:] = w * jnp.sum(g1_t * cd_t, axis=0)
+    du_ref[:] = w * jnp.sum(g2_t * c0_t, axis=0)
 
 
 def _pad_rays(x: jnp.ndarray, value: float, block: int) -> jnp.ndarray:
@@ -279,11 +285,14 @@ def _splat_bwd(bitmap_resolution, compute_dtype, residuals, g):
     )
     ray_spec = pl.BlockSpec((BWD_RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
     grad_spec = pl.BlockSpec(
-        (1, height, width),
+        (1, width, height),
         lambda i: (i // blocks_per_map, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct((num * padded,), jnp.float32)
+    # One XLA transpose of the cotangent per map; the kernel's matmuls then
+    # match the forward's lhs-contraction-minor shape (see kernel docstring).
+    g_transposed = jnp.swapaxes(g.astype(jnp.float32), 1, 2)
     de, du, dw = pl.pallas_call(
         kernel,
         grid=(num * blocks_per_map,),
@@ -291,7 +300,7 @@ def _splat_bwd(bitmap_resolution, compute_dtype, residuals, g):
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=(out_shape, out_shape, out_shape),
         interpret=_interpret(),
-    )(e.reshape(-1), u.reshape(-1), w.reshape(-1), g.astype(jnp.float32))
+    )(e.reshape(-1), u.reshape(-1), w.reshape(-1), g_transposed)
     return (
         de.reshape(num, padded)[:, :n],
         du.reshape(num, padded)[:, :n],
