@@ -130,6 +130,7 @@ def align_surfaces_with_incident_ray_directions(
     active: HeliostatGroupState,
     aim_points: jnp.ndarray,
     incident_ray_directions: jnp.ndarray,
+    warn_sharding=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Align active surfaces so reflections hit the aim points.
 
@@ -141,6 +142,10 @@ def align_surfaces_with_incident_ray_directions(
         Activated (gathered) group state with leading axis M.
     aim_points, incident_ray_directions : jnp.ndarray
         Shape ``[M, 4]`` each.
+    warn_sharding : jax.sharding.NamedSharding | None
+        Replicated sharding of the step's mesh; forwarded to the
+        invalid-motor warning so its host callback never forces an SPMD
+        involuntary rematerialization (see kinematics_rigid_body).
 
     Returns
     -------
@@ -157,6 +162,7 @@ def align_surfaces_with_incident_ray_directions(
         actuator_type=active.actuator_type,
         actuator_non_optimizable=active.actuator_non_optimizable,
         actuator_optimizable=active.actuator_optimizable,
+        warn_sharding=warn_sharding,
     )
     points, normals = _apply_orientations(
         active.surface_points, active.surface_normals, orientations

@@ -267,7 +267,9 @@ def _host_callbacks_supported() -> bool:
         return False
 
 
-def _warn_invalid_motor_positions(valid: jnp.ndarray) -> None:
+def _warn_invalid_motor_positions(
+    valid: jnp.ndarray, replicate_sharding=None
+) -> None:
     """Host-side warning for heliostats where no motor solution is valid.
 
     The jit-compatible analogue of the reference's eager warning
@@ -275,6 +277,14 @@ def _warn_invalid_motor_positions(valid: jnp.ndarray) -> None:
     shipped to the host via ``jax.debug.callback`` and logged there, so the
     traced computation itself stays pure. No-op on backends without host
     callback support.
+
+    ``replicate_sharding``: when the surrounding step runs over a device
+    mesh, the callback demands its operand on one device (maximal
+    sharding), and the SPMD partitioner can only satisfy sharded->maximal
+    by an involuntary full rematerialization (a forced replicate+slice
+    round-trip it warns about on every step). Passing the mesh's fully
+    replicated ``NamedSharding`` constrains the mask to replicated first -
+    one clean all-gather - making the maximal hand-off free.
     """
     def callback(valid_host) -> None:
         invalid = np.nonzero(~np.asarray(valid_host))[0]
@@ -295,6 +305,8 @@ def _warn_invalid_motor_positions(valid: jnp.ndarray) -> None:
         return
     if not _host_callbacks_supported():
         return
+    if replicate_sharding is not None:
+        valid = jax.lax.with_sharding_constraint(valid, replicate_sharding)
     jax.debug.callback(callback, valid)
 
 
@@ -335,6 +347,7 @@ def incident_ray_directions_to_orientations(
     max_num_iterations: int = 4,
     min_eps: float = 0.0001,
     warn_invalid: bool = True,
+    warn_sharding=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Aim-point alignment: fixed-point iteration of forward/inverse kinematics.
 
@@ -402,7 +415,7 @@ def incident_ray_directions_to_orientations(
             return_validity=True,
         )
         if warn_invalid:
-            _warn_invalid_motor_positions(motor_valid)
+            _warn_invalid_motor_positions(motor_valid, warn_sharding)
         motor_positions = jnp.where(done, motor_positions, new_motor)
 
     return _mm(orientations, initial_orientation_offset()), motor_positions

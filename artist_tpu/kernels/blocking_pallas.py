@@ -42,6 +42,7 @@ reference semantics: artist/raytracing/blocking.py:212-354.
 from __future__ import annotations
 
 import functools
+import math
 import os
 
 import jax
@@ -60,7 +61,7 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _pair_terms(rays, prims, softness, ray_origin_offset):
+def _pair_terms(rays, prims, softness, ray_origin_offset, epsilon=1e-12):
     """Shared pair math for one [PRIM_TILE, block] tile.
 
     ``rays``: tuple of [block] lane vectors; ``prims``: tuple of [tile, 1]
@@ -80,7 +81,6 @@ def _pair_terms(rays, prims, softness, ray_origin_offset):
     d_dot_u = row(dx) * ux + row(dy) * uy + row(dz) * uz
     d_dot_v = row(dx) * vx + row(dy) * vy + row(dz) * vz
 
-    epsilon = 1e-12
     denominator_ok = jnp.abs(d_dot_n) >= epsilon
     denominator = jnp.where(
         denominator_ok, d_dot_n, jnp.where(d_dot_n >= 0, epsilon, -epsilon)
@@ -117,7 +117,7 @@ def _pair_terms(rays, prims, softness, ray_origin_offset):
     )
 
 
-def _pair_gradients(rays, prims, gbar, softness, ray_origin_offset):
+def _pair_gradients(rays, prims, gbar, softness, ray_origin_offset, epsilon=1e-12):
     """Per-pair cotangents shared by both backward kernels ([tile, block])."""
     (_, _, _, _, _, _, _, _, _, _, _, _, suu, svv, suv, inv_det) = prims
     sigma, (
@@ -135,7 +135,7 @@ def _pair_gradients(rays, prims, gbar, softness, ray_origin_offset):
         s2,
         s3,
         s4,
-    ) = _pair_terms(rays, prims, softness, ray_origin_offset)
+    ) = _pair_terms(rays, prims, softness, ray_origin_offset, epsilon)
 
     k = softness
     g_uc = gbar * sigma * k * (s2 - s1)
@@ -173,14 +173,14 @@ def _read_prims(prim_refs):
     return tuple(ref[:] for ref in prim_refs)  # each [tile, 1]
 
 
-def _sigma_forward_kernel(*refs, softness, ray_origin_offset):
+def _sigma_forward_kernel(*refs, softness, ray_origin_offset, epsilon):
     ray_refs = refs[:7]
     prim_refs = refs[7:23]
     keep_ref = refs[23]
     out_ref = refs[24]
     rays = tuple(ref[:] for ref in ray_refs)
     sigma, _ = _pair_terms(
-        rays, _read_prims(prim_refs), softness, ray_origin_offset
+        rays, _read_prims(prim_refs), softness, ray_origin_offset, epsilon
     )
     partial = jnp.sum(sigma * keep_ref[:], axis=0)
 
@@ -193,7 +193,7 @@ def _sigma_forward_kernel(*refs, softness, ray_origin_offset):
         out_ref[:] = out_ref[:] + partial
 
 
-def _sigma_bwd_rays_kernel(*refs, softness, ray_origin_offset):
+def _sigma_bwd_rays_kernel(*refs, softness, ray_origin_offset, epsilon):
     """Grid (ray_steps, prim_steps): per-ray grads accumulate over prims."""
     ray_refs = refs[:7]
     prim_refs = refs[7:23]
@@ -204,7 +204,7 @@ def _sigma_bwd_rays_kernel(*refs, softness, ray_origin_offset):
     prims = _read_prims(prim_refs)
     gbar = (gbar_ref[:] * rays[6])[None, :] * keep_ref[:]
     _, ray_grads, _ = _pair_gradients(
-        rays, prims, gbar, softness, ray_origin_offset
+        rays, prims, gbar, softness, ray_origin_offset, epsilon
     )
     g_on, g_ou, g_ov, g_dn, g_du, g_dv = ray_grads
     nx, ny, nz, ux, uy, uz, vx, vy, vz = prims[:9]
@@ -228,7 +228,7 @@ def _sigma_bwd_rays_kernel(*refs, softness, ray_origin_offset):
             out[:] = out[:] + partial
 
 
-def _sigma_bwd_prims_kernel(*refs, softness, ray_origin_offset):
+def _sigma_bwd_prims_kernel(*refs, softness, ray_origin_offset, epsilon):
     """Grid (prim_steps, ray_steps): per-prim grads accumulate over rays."""
     ray_refs = refs[:7]
     prim_refs = refs[7:23]
@@ -239,7 +239,7 @@ def _sigma_bwd_prims_kernel(*refs, softness, ray_origin_offset):
     prims = _read_prims(prim_refs)
     gbar = (gbar_ref[:] * rays[6])[None, :] * keep_ref[:]
     _, ray_grads, prim_scalar_grads = _pair_gradients(
-        rays, prims, gbar, softness, ray_origin_offset
+        rays, prims, gbar, softness, ray_origin_offset, epsilon
     )
     g_on, g_ou, g_ov, g_dn, g_du, g_dv = ray_grads
     ox, oy, oz, dx, dy, dz, _ = rays
@@ -379,7 +379,7 @@ def cull_primitives_pallas(
     return hit_any[:number_of_primitives, 0] > 0.5
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def blocking_sigma_pallas(
     ray_components: tuple[jnp.ndarray, ...],
     ray_valid: jnp.ndarray,
@@ -387,6 +387,7 @@ def blocking_sigma_pallas(
     keep: jnp.ndarray,
     softness: float,
     ray_origin_offset: float,
+    epsilon: float = 1e-12,
 ) -> jnp.ndarray:
     """Summed soft occlusion sigma per ray (flattened, padded).
 
@@ -411,12 +412,13 @@ def blocking_sigma_pallas(
     """
     return _sigma_forward(
         ray_components, ray_valid, primitive_columns, keep, softness,
-        ray_origin_offset,
+        ray_origin_offset, epsilon,
     )
 
 
 def _sigma_forward(
-    ray_components, ray_valid, primitive_columns, keep, softness, ray_origin_offset
+    ray_components, ray_valid, primitive_columns, keep, softness,
+    ray_origin_offset, epsilon,
 ):
     total = ray_components[0].shape[0]
     prim_padded = primitive_columns[0].shape[0]
@@ -426,6 +428,7 @@ def _sigma_forward(
         _sigma_forward_kernel,
         softness=softness,
         ray_origin_offset=ray_origin_offset,
+        epsilon=epsilon,
     )
     return pl.pallas_call(
         kernel,
@@ -442,14 +445,16 @@ def _sigma_forward(
     )(*ray_components, ray_valid, *primitive_columns, keep)
 
 
-def _sigma_fwd(ray_components, ray_valid, primitive_columns, keep, softness, offset):
+def _sigma_fwd(
+    ray_components, ray_valid, primitive_columns, keep, softness, offset, epsilon
+):
     out = _sigma_forward(
-        ray_components, ray_valid, primitive_columns, keep, softness, offset
+        ray_components, ray_valid, primitive_columns, keep, softness, offset, epsilon
     )
     return out, (ray_components, ray_valid, primitive_columns, keep)
 
 
-def _sigma_bwd(softness, offset, residuals, gbar):
+def _sigma_bwd(softness, offset, epsilon, residuals, gbar):
     ray_components, ray_valid, primitive_columns, keep, = residuals
     total = ray_components[0].shape[0]
     prim_padded = primitive_columns[0].shape[0]
@@ -458,7 +463,8 @@ def _sigma_bwd(softness, offset, residuals, gbar):
 
     ray_grads = pl.pallas_call(
         functools.partial(
-            _sigma_bwd_rays_kernel, softness=softness, ray_origin_offset=offset
+            _sigma_bwd_rays_kernel, softness=softness, ray_origin_offset=offset,
+            epsilon=epsilon,
         ),
         grid=(ray_steps, prim_steps),
         in_specs=(
@@ -480,7 +486,8 @@ def _sigma_bwd(softness, offset, residuals, gbar):
 
     prim_grads = pl.pallas_call(
         functools.partial(
-            _sigma_bwd_prims_kernel, softness=softness, ray_origin_offset=offset
+            _sigma_bwd_prims_kernel, softness=softness, ray_origin_offset=offset,
+            epsilon=epsilon,
         ),
         grid=(prim_steps, ray_steps),  # rays fast: prim outputs accumulate
         in_specs=(
@@ -570,9 +577,8 @@ def soft_ray_blocking_mask_pallas(
     # ---- rays flattened to one padded axis ----
     shape = (number_of_heliostats, number_of_rays, number_of_points)
     total = number_of_heliostats * number_of_rays * number_of_points
-    total_padded = pl.cdiv(total, max(RAY_BLOCK, BWD_RAY_BLOCK)) * max(
-        RAY_BLOCK, BWD_RAY_BLOCK
-    )
+    _pad_unit = math.lcm(RAY_BLOCK, BWD_RAY_BLOCK)
+    total_padded = pl.cdiv(total, _pad_unit) * _pad_unit
 
     def flat(x):
         return _pad_axis(x.reshape(1, -1), total_padded)[0]
@@ -623,6 +629,7 @@ def soft_ray_blocking_mask_pallas(
         keep_column,
         softness,
         ray_origin_offset,
+        epsilon,
     )
     sigma_sum = sigma[:total].reshape(shape)
     return 1.0 - jnp.exp(-alpha * sigma_sum)

@@ -990,7 +990,15 @@ class AimPointOptimizer:
                 lambdas,
                 jnp.float32(learning_rate),
             )
-            loss_value = float(loss_j)
+            # Each rank sums flux contributions in a different order
+            # (flux_local + gathered remotes), so local losses can differ in
+            # the last ulp. Every control-flow decision below (tolerance,
+            # ReduceOnPlateau, EarlyStopping) must be identical on all ranks
+            # or a rank that keeps looping blocks forever in the next
+            # all_gather — canonicalize on rank 0's loss.
+            loss_value = float(
+                collectives.broadcast_object(float(loss_j), 0, "aim_point_loss")
+            )
             if isinstance(scheduler, training.ReduceOnPlateau):
                 scheduler.step(loss_value)
             if epoch % log_step == 0:

@@ -216,9 +216,17 @@ class SurfaceReconstructor:
                 surface_points=points.reshape(num_samples, -1, 4),
                 surface_normals=normals.reshape(num_samples, -1, 4),
             )
+            warn_sharding = (
+                jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+                if self.mesh is not None
+                else None
+            )
             aligned_points, aligned_normals, _, _ = (
                 hg.align_surfaces_with_incident_ray_directions(
-                    active, aim_points, incident_ray_directions
+                    active,
+                    aim_points,
+                    incident_ray_directions,
+                    warn_sharding=warn_sharding,
                 )
             )
             flux, _, _, _ = trace_rays(

@@ -69,10 +69,16 @@ def all_gather_object(obj: Any, tag: str = "gather") -> list[Any]:
     key = _next_key(tag)
     rank = jax.process_index()
     client.key_value_set(f"{key}/{rank}", _encode(obj))
-    return [
+    gathered = [
         _decode(client.blocking_key_value_get(f"{key}/{source}", _TIMEOUT_MS))
         for source in range(jax.process_count())
     ]
+    # The coordination service holds keys until deleted; long optimizations
+    # gather bitmap-sized payloads every epoch, so reclaim each slot once
+    # every rank has read it (the barrier guarantees that).
+    client.wait_at_barrier(f"{key}/read", _TIMEOUT_MS)
+    client.key_value_delete(f"{key}/{rank}")
+    return gathered
 
 
 def broadcast_object(obj: Any, source_rank: int, tag: str = "bcast") -> Any:
@@ -88,8 +94,14 @@ def broadcast_object(obj: Any, source_rank: int, tag: str = "bcast") -> Any:
     key = _next_key(tag)
     if jax.process_index() == source_rank:
         client.key_value_set(key, _encode(obj))
-        return obj
-    return _decode(client.blocking_key_value_get(key, _TIMEOUT_MS))
+        result = obj
+    else:
+        result = _decode(client.blocking_key_value_get(key, _TIMEOUT_MS))
+    # Reclaim the key once every rank has read it (see all_gather_object).
+    client.wait_at_barrier(f"{key}/read", _TIMEOUT_MS)
+    if jax.process_index() == source_rank:
+        client.key_value_delete(key)
+    return result
 
 
 def all_reduce_min(values: np.ndarray, tag: str = "min") -> np.ndarray:

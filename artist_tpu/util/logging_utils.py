@@ -90,6 +90,50 @@ def set_runtime_logger(
     _RUNTIME_HANDLER_SET = True
 
 
+def enable_compilation_cache(
+    cache_dir: str | Path | None = None, min_compile_time_secs: float = 1.0
+) -> Path:
+    """Persist compiled XLA programs across process restarts.
+
+    The remote TPU compile service charges 10-30 s per big program on every
+    process start; pointing JAX's compilation cache at a persistent
+    directory makes re-runs of the same tutorial/example/bench skip it.
+    Called by ``bench.py`` and the example entry points; opt out with
+    ``ARTIST_COMPILATION_CACHE=0``.
+
+    Parameters
+    ----------
+    cache_dir : str | Path | None
+        Cache location. Defaults to ``$ARTIST_COMPILATION_CACHE`` when that
+        is a path, else ``~/.cache/artist_tpu/jax_cache``.
+    min_compile_time_secs : float
+        Only cache programs whose compile took at least this long.
+
+    Returns
+    -------
+    Path
+        The directory in use.
+    """
+    import os
+
+    import jax
+
+    env = os.environ.get("ARTIST_COMPILATION_CACHE", "")
+    if cache_dir is None:
+        cache_dir = env if env not in ("", "0", "1") else None
+    if cache_dir is None:
+        cache_dir = Path.home() / ".cache" / "artist_tpu" / "jax_cache"
+    cache_dir = Path(cache_dir)
+    if env != "0":
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_time_secs
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str | Path):
     """Capture a device profile (XPlane/TensorBoard) around a phase.

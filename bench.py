@@ -349,6 +349,9 @@ def bench_torch_reference() -> float:
 
 
 def main() -> None:
+    from artist_tpu.util import enable_compilation_cache
+
+    enable_compilation_cache()  # re-runs skip the 10-30 s remote compiles
     _warm_remote_compiler()
 
     step, args, rays = _build_step(blocking=False)

@@ -40,6 +40,7 @@ from artist_tpu.optim.surface_reconstructor import SurfaceReconstructor
 from artist_tpu.scenario import load_scenario_from_hdf5
 from artist_tpu.util import constants
 from artist_tpu.util.logging_utils import (
+    enable_compilation_cache,
     set_logger_config,
     set_runtime_logger,
     track_runtime,
@@ -292,6 +293,7 @@ def _save_histories(path: pathlib.Path, results) -> None:
 
 def main() -> None:
     set_logger_config()
+    enable_compilation_cache()  # reruns skip the remote TPU compiles
     config = load_config(sys.argv)
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
 

@@ -28,7 +28,10 @@ from artist_tpu.io.paint_scenario_parser import (
 )
 from artist_tpu.scenario.h5_generator import H5ScenarioGenerator
 from artist_tpu.util.config import LightSourceConfig, LightSourceListConfig
-from artist_tpu.util.logging_utils import set_logger_config
+from artist_tpu.util.logging_utils import (
+    enable_compilation_cache,
+    set_logger_config,
+)
 
 
 def load_config(argv: list[str]) -> dict:
@@ -92,5 +95,6 @@ def generate_scenario(config: dict) -> pathlib.Path:
 
 if __name__ == "__main__":
     set_logger_config()
+    enable_compilation_cache()  # reruns skip the remote TPU compiles
     path = generate_scenario(load_config(sys.argv))
     print(f"scenario written to {path}")

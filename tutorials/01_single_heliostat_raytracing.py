@@ -18,9 +18,13 @@ from artist_tpu.field import heliostat_group as hg
 from artist_tpu.field.solar_tower import get_centers_of_target_areas
 from artist_tpu.raytracing import RenderConfig, trace_rays
 from artist_tpu.scenario import load_scenario_from_hdf5
-from artist_tpu.util.logging_utils import set_logger_config
+from artist_tpu.util.logging_utils import (
+    enable_compilation_cache,
+    set_logger_config,
+)
 
 set_logger_config()
+enable_compilation_cache()  # reruns skip the remote TPU compiles
 
 scenario_path = pathlib.Path(
     "/root/reference/tests/data/scenarios/test_scenario_paint_single_heliostat.h5"

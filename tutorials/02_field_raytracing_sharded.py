@@ -25,9 +25,13 @@ from artist_tpu.parallel import make_mesh, ray_sharding, sample_sharding
 from artist_tpu.raytracing import RenderConfig, trace_rays
 from artist_tpu.raytracing.render import get_bitmaps_per_target
 from artist_tpu.scenario import load_scenario_from_hdf5
-from artist_tpu.util.logging_utils import set_logger_config
+from artist_tpu.util.logging_utils import (
+    enable_compilation_cache,
+    set_logger_config,
+)
 
 set_logger_config()
+enable_compilation_cache()  # reruns skip the remote TPU compiles
 
 scenario_path = pathlib.Path(
     "/root/reference/tests/data/scenarios/test_scenario_paint_four_heliostats.h5"

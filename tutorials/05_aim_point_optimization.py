@@ -18,9 +18,13 @@ from artist_tpu.flux.bitmap import trapezoid_distribution
 from artist_tpu.optim.aim_point_optimizer import AimPointOptimizer
 from artist_tpu.scenario import load_scenario_from_hdf5
 from artist_tpu.util import constants
-from artist_tpu.util.logging_utils import set_logger_config
+from artist_tpu.util.logging_utils import (
+    enable_compilation_cache,
+    set_logger_config,
+)
 
 set_logger_config()
+enable_compilation_cache()  # reruns skip the remote TPU compiles
 
 scenario_path = pathlib.Path(
     "/root/reference/tests/data/scenarios/test_scenario_paint_four_heliostats.h5"
