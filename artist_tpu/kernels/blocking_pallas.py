@@ -61,11 +61,20 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _pair_terms(rays, prims, softness, ray_origin_offset, epsilon=1e-12):
+def _pair_terms(
+    rays, prims, softness, ray_origin_offset, epsilon=1e-12, t_target_row=None
+):
     """Shared pair math for one [PRIM_TILE, block] tile.
 
     ``rays``: tuple of [block] lane vectors; ``prims``: tuple of [tile, 1]
     columns. All outputs are [tile, block].
+
+    ``t_target_row`` ([block] or None): per-ray distance to the target hit.
+    When given, pairs whose plane intersection lies beyond the target are
+    hard-gated to zero - the per-ray form of the reference LBVH cull's
+    "blockers beyond the target hit do not block" semantics
+    (artist/raytracing/blocking.py:912-943). The gate is treated as a
+    constant in the VJP, matching the reference's no-grad cull.
     """
     ox, oy, oz, dx, dy, dz, ray_valid = rays
     (
@@ -99,6 +108,8 @@ def _pair_terms(rays, prims, softness, ray_origin_offset, epsilon=1e-12):
     s3 = jax.nn.sigmoid(softness * v_coord)
     s4 = jax.nn.sigmoid(softness * (1.0 - v_coord))
     sigma = s1 * s2 * s3 * s4 * in_front * row(ray_valid)
+    if t_target_row is not None:
+        sigma = sigma * (t <= row(t_target_row)).astype(sigma.dtype)
     return sigma, (
         d_dot_u,
         d_dot_v,
@@ -117,8 +128,23 @@ def _pair_terms(rays, prims, softness, ray_origin_offset, epsilon=1e-12):
     )
 
 
-def _pair_gradients(rays, prims, gbar, softness, ray_origin_offset, epsilon=1e-12):
-    """Per-pair cotangents shared by both backward kernels ([tile, block])."""
+def _pair_gradients(
+    rays,
+    prims,
+    gbar,
+    softness,
+    ray_origin_offset,
+    epsilon=1e-12,
+    t_target_row=None,
+):
+    """Per-pair cotangents shared by both backward kernels ([tile, block]).
+
+    The behind-target gate (``t_target_row``) enters through ``sigma``
+    itself: every cotangent below is proportional to ``gbar * sigma``, so a
+    gated-out pair contributes exactly zero gradient, and the gate's own
+    discontinuity carries none (stop-grad semantics, like the reference's
+    non-differentiable cull).
+    """
     (_, _, _, _, _, _, _, _, _, _, _, _, suu, svv, suv, inv_det) = prims
     sigma, (
         d_dot_u,
@@ -135,7 +161,9 @@ def _pair_gradients(rays, prims, gbar, softness, ray_origin_offset, epsilon=1e-1
         s2,
         s3,
         s4,
-    ) = _pair_terms(rays, prims, softness, ray_origin_offset, epsilon)
+    ) = _pair_terms(
+        rays, prims, softness, ray_origin_offset, epsilon, t_target_row
+    )
 
     k = softness
     g_uc = gbar * sigma * k * (s2 - s1)
@@ -173,14 +201,18 @@ def _read_prims(prim_refs):
     return tuple(ref[:] for ref in prim_refs)  # each [tile, 1]
 
 
-def _sigma_forward_kernel(*refs, softness, ray_origin_offset, epsilon):
-    ray_refs = refs[:7]
-    prim_refs = refs[7:23]
-    keep_ref = refs[23]
-    out_ref = refs[24]
-    rays = tuple(ref[:] for ref in ray_refs)
+def _sigma_forward_kernel(*refs, softness, ray_origin_offset, epsilon,
+                          gated=False):
+    n = 8 if gated else 7
+    ray_refs = refs[:n]
+    prim_refs = refs[n:n + 16]
+    keep_ref = refs[n + 16]
+    out_ref = refs[n + 17]
+    rays = tuple(ref[:] for ref in ray_refs[:7])
+    t_target_row = ray_refs[7][:] if gated else None
     sigma, _ = _pair_terms(
-        rays, _read_prims(prim_refs), softness, ray_origin_offset, epsilon
+        rays, _read_prims(prim_refs), softness, ray_origin_offset, epsilon,
+        t_target_row,
     )
     partial = jnp.sum(sigma * keep_ref[:], axis=0)
 
@@ -193,18 +225,21 @@ def _sigma_forward_kernel(*refs, softness, ray_origin_offset, epsilon):
         out_ref[:] = out_ref[:] + partial
 
 
-def _sigma_bwd_rays_kernel(*refs, softness, ray_origin_offset, epsilon):
+def _sigma_bwd_rays_kernel(*refs, softness, ray_origin_offset, epsilon,
+                           gated=False):
     """Grid (ray_steps, prim_steps): per-ray grads accumulate over prims."""
-    ray_refs = refs[:7]
-    prim_refs = refs[7:23]
-    keep_ref = refs[23]
-    gbar_ref = refs[24]
-    out_refs = refs[25:31]  # g_ox, g_oy, g_oz, g_dx, g_dy, g_dz
-    rays = tuple(ref[:] for ref in ray_refs)
+    n = 8 if gated else 7
+    ray_refs = refs[:n]
+    prim_refs = refs[n:n + 16]
+    keep_ref = refs[n + 16]
+    gbar_ref = refs[n + 17]
+    out_refs = refs[n + 18:n + 24]  # g_ox, g_oy, g_oz, g_dx, g_dy, g_dz
+    rays = tuple(ref[:] for ref in ray_refs[:7])
+    t_target_row = ray_refs[7][:] if gated else None
     prims = _read_prims(prim_refs)
     gbar = (gbar_ref[:] * rays[6])[None, :] * keep_ref[:]
     _, ray_grads, _ = _pair_gradients(
-        rays, prims, gbar, softness, ray_origin_offset, epsilon
+        rays, prims, gbar, softness, ray_origin_offset, epsilon, t_target_row
     )
     g_on, g_ou, g_ov, g_dn, g_du, g_dv = ray_grads
     nx, ny, nz, ux, uy, uz, vx, vy, vz = prims[:9]
@@ -228,18 +263,21 @@ def _sigma_bwd_rays_kernel(*refs, softness, ray_origin_offset, epsilon):
             out[:] = out[:] + partial
 
 
-def _sigma_bwd_prims_kernel(*refs, softness, ray_origin_offset, epsilon):
+def _sigma_bwd_prims_kernel(*refs, softness, ray_origin_offset, epsilon,
+                            gated=False):
     """Grid (prim_steps, ray_steps): per-prim grads accumulate over rays."""
-    ray_refs = refs[:7]
-    prim_refs = refs[7:23]
-    keep_ref = refs[23]
-    gbar_ref = refs[24]
-    out_refs = refs[25:41]  # 16 per-primitive gradient columns [tile, 1]
-    rays = tuple(ref[:] for ref in ray_refs)
+    n = 8 if gated else 7
+    ray_refs = refs[:n]
+    prim_refs = refs[n:n + 16]
+    keep_ref = refs[n + 16]
+    gbar_ref = refs[n + 17]
+    out_refs = refs[n + 18:n + 34]  # 16 per-primitive gradient columns [tile, 1]
+    rays = tuple(ref[:] for ref in ray_refs[:7])
+    t_target_row = ray_refs[7][:] if gated else None
     prims = _read_prims(prim_refs)
     gbar = (gbar_ref[:] * rays[6])[None, :] * keep_ref[:]
     _, ray_grads, prim_scalar_grads = _pair_gradients(
-        rays, prims, gbar, softness, ray_origin_offset, epsilon
+        rays, prims, gbar, softness, ray_origin_offset, epsilon, t_target_row
     )
     g_on, g_ou, g_ov, g_dn, g_du, g_dv = ray_grads
     ox, oy, oz, dx, dy, dz, _ = rays
@@ -632,4 +670,313 @@ def soft_ray_blocking_mask_pallas(
         epsilon,
     )
     sigma_sum = sigma[:total].reshape(shape)
+    return 1.0 - jnp.exp(-alpha * sigma_sum)
+
+
+# --------------------------------------------------------------------------- #
+# Compacted-candidate ("grouped") path: per-heliostat top-K blocker lists.
+#
+# The flat kernels above stream EVERY primitive past every ray - O(rays x B)
+# with B the whole field, quadratic in field size. Heliostat neighborhoods
+# are nearly static during an optimization, so the render path preselects at
+# most K candidate blockers per ray-owning heliostat (a conservative
+# corridor test, artist_tpu/raytracing/blocking.py:select_blocking_candidates)
+# and gathers their pre-reduced columns into dense [M, K] tensors; the pair
+# kernels below then run O(rays x K) with K ~ 16 regardless of field size.
+# The reference's behind-the-target cull becomes the per-ray t <= t_target
+# gate inside _pair_terms (so no separate cull kernel runs at all).
+#
+# Layout: rays stay flattened on lanes, but per-HELIOSTAT padded to a block
+# multiple so no ray block straddles two heliostats; the grid walks
+# (heliostat-ray blocks, candidate tiles) and the index maps recover the
+# owning heliostat as block_index // blocks_per_heliostat.
+# reference semantics: artist/raytracing/blocking.py:212-354 (soft mask)
+# + :831-995 (cull).
+# --------------------------------------------------------------------------- #
+
+
+def _grouped_ray_specs(blk: int, count: int, blocks_per_m: int, k_steps: int,
+                       ray_fast: bool):
+    if ray_fast:  # grid (M * k_steps, ray_steps)
+        index = lambda i, j: ((i // k_steps) * blocks_per_m + j,)  # noqa: E731
+    else:  # grid (M * ray_steps, k_steps)
+        index = lambda i, j: (i,)  # noqa: E731
+    return [
+        pl.BlockSpec((blk,), index, memory_space=pltpu.VMEM) for _ in range(count)
+    ]
+
+
+def _grouped_prim_specs(count: int, blocks_per_m: int, k_steps: int,
+                        ray_fast: bool):
+    if ray_fast:
+        index = lambda i, j: (i, 0)  # noqa: E731
+    else:
+        index = lambda i, j: ((i // blocks_per_m) * k_steps + j, 0)  # noqa: E731
+    return [
+        pl.BlockSpec((PRIM_TILE, 1), index, memory_space=pltpu.VMEM)
+        for _ in range(count)
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def blocking_sigma_pallas_grouped(
+    ray_components: tuple[jnp.ndarray, ...],
+    ray_valid: jnp.ndarray,
+    t_target: jnp.ndarray,
+    primitive_columns: tuple[jnp.ndarray, ...],
+    keep: jnp.ndarray,
+    num_groups: int,
+    softness: float,
+    ray_origin_offset: float,
+    epsilon: float = 1e-12,
+) -> jnp.ndarray:
+    """Summed soft sigma per ray against each ray-owner's K candidates.
+
+    Parameters
+    ----------
+    ray_components : tuple of jnp.ndarray
+        ``(ox, oy, oz, dx, dy, dz)``, each ``[M * RP_pad]`` fp32 with RP_pad
+        (rays per heliostat) a multiple of lcm(RAY_BLOCK, BWD_RAY_BLOCK).
+    ray_valid : jnp.ndarray
+        1.0 real / 0.0 padding, same shape.
+    t_target : jnp.ndarray
+        Per-ray distance to the target hit (behind-target gate; padding
+        slots hold a large negative value). NOT differentiated (the
+        reference cull is no-grad).
+    primitive_columns : tuple of jnp.ndarray
+        16 gathered candidate columns ``[M * K_pad, 1]`` (same order as the
+        flat path: nx..inv_det), K_pad a multiple of PRIM_TILE.
+    keep : jnp.ndarray
+        Candidate validity ``[M * K_pad, 1]`` fp32 (0 for padded slots).
+    num_groups : int
+        M, static.
+
+    Returns
+    -------
+    jnp.ndarray
+        ``sigma_sum [M * RP_pad]``.
+    """
+    return _grouped_sigma_forward(
+        ray_components, ray_valid, t_target, primitive_columns, keep,
+        num_groups, softness, ray_origin_offset, epsilon,
+    )
+
+
+def _grouped_sigma_forward(
+    ray_components, ray_valid, t_target, primitive_columns, keep,
+    num_groups, softness, ray_origin_offset, epsilon,
+):
+    total = ray_components[0].shape[0]
+    rp_pad = total // num_groups
+    blocks_per_m = rp_pad // RAY_BLOCK
+    k_steps = primitive_columns[0].shape[0] // num_groups // PRIM_TILE
+    kernel = functools.partial(
+        _sigma_forward_kernel,
+        softness=softness,
+        ray_origin_offset=ray_origin_offset,
+        epsilon=epsilon,
+        gated=True,
+    )
+    return pl.pallas_call(
+        kernel,
+        # candidate tiles fastest: each ray output block accumulates over
+        # consecutive steps.
+        grid=(num_groups * blocks_per_m, k_steps),
+        in_specs=(
+            _grouped_ray_specs(RAY_BLOCK, 8, blocks_per_m, k_steps, False)
+            + _grouped_prim_specs(17, blocks_per_m, k_steps, False)
+        ),
+        out_specs=pl.BlockSpec(
+            (RAY_BLOCK,), lambda i, j: (i,), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((total,), jnp.float32),
+        interpret=_interpret(),
+    )(*ray_components, ray_valid, t_target, *primitive_columns, keep)
+
+
+def _grouped_sigma_fwd(
+    ray_components, ray_valid, t_target, primitive_columns, keep,
+    num_groups, softness, offset, epsilon,
+):
+    out = _grouped_sigma_forward(
+        ray_components, ray_valid, t_target, primitive_columns, keep,
+        num_groups, softness, offset, epsilon,
+    )
+    return out, (ray_components, ray_valid, t_target, primitive_columns, keep)
+
+
+def _grouped_sigma_bwd(num_groups, softness, offset, epsilon, residuals, gbar):
+    ray_components, ray_valid, t_target, primitive_columns, keep = residuals
+    total = ray_components[0].shape[0]
+    rp_pad = total // num_groups
+    blocks_per_m = rp_pad // BWD_RAY_BLOCK
+    prim_total = primitive_columns[0].shape[0]
+    k_steps = prim_total // num_groups // PRIM_TILE
+
+    ray_grads = pl.pallas_call(
+        functools.partial(
+            _sigma_bwd_rays_kernel, softness=softness, ray_origin_offset=offset,
+            epsilon=epsilon, gated=True,
+        ),
+        grid=(num_groups * blocks_per_m, k_steps),
+        in_specs=(
+            _grouped_ray_specs(BWD_RAY_BLOCK, 8, blocks_per_m, k_steps, False)
+            + _grouped_prim_specs(17, blocks_per_m, k_steps, False)
+            + _grouped_ray_specs(BWD_RAY_BLOCK, 1, blocks_per_m, k_steps, False)
+        ),
+        out_specs=tuple(
+            pl.BlockSpec(
+                (BWD_RAY_BLOCK,), lambda i, j: (i,), memory_space=pltpu.VMEM
+            )
+            for _ in range(6)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((total,), jnp.float32) for _ in range(6)
+        ),
+        interpret=_interpret(),
+    )(*ray_components, ray_valid, t_target, *primitive_columns, keep, gbar)
+
+    prim_grads = pl.pallas_call(
+        functools.partial(
+            _sigma_bwd_prims_kernel, softness=softness, ray_origin_offset=offset,
+            epsilon=epsilon, gated=True,
+        ),
+        # ray blocks fastest: each candidate-column output block accumulates
+        # over its heliostat's consecutive ray steps.
+        grid=(num_groups * k_steps, blocks_per_m),
+        in_specs=(
+            _grouped_ray_specs(BWD_RAY_BLOCK, 8, blocks_per_m, k_steps, True)
+            + _grouped_prim_specs(17, blocks_per_m, k_steps, True)
+            + _grouped_ray_specs(BWD_RAY_BLOCK, 1, blocks_per_m, k_steps, True)
+        ),
+        out_specs=tuple(
+            pl.BlockSpec(
+                (PRIM_TILE, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(16)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((prim_total, 1), jnp.float32)
+            for _ in range(16)
+        ),
+        interpret=_interpret(),
+    )(*ray_components, ray_valid, t_target, *primitive_columns, keep, gbar)
+
+    return (tuple(ray_grads), None, None, tuple(prim_grads), None)
+
+
+blocking_sigma_pallas_grouped.defvjp(_grouped_sigma_fwd, _grouped_sigma_bwd)
+
+
+def soft_ray_blocking_mask_pallas_compact(
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    blocking_primitives_corners: jnp.ndarray,
+    blocking_primitives_spans: jnp.ndarray,
+    blocking_primitives_normals: jnp.ndarray,
+    candidate_indices: jnp.ndarray,
+    candidate_valid: jnp.ndarray,
+    intersection_distances_target: jnp.ndarray,
+    epsilon: float = 1e-12,
+    softness: float = 1000.0,
+    alpha: float = 100.0,
+    ray_origin_offset: float = 0.05,
+) -> jnp.ndarray:
+    """Soft blocking mask over per-heliostat candidate blocker lists.
+
+    Same pair math and Beer-Lambert accumulation as the flat Pallas path,
+    but each heliostat's rays only ever meet its K gathered candidates, and
+    the reference cull's behind-the-target semantics run per ray inside the
+    kernel. Candidate gradients scatter back to the full primitive set
+    through the gather's VJP.
+
+    Parameters
+    ----------
+    candidate_indices : jnp.ndarray
+        Global primitive index of each candidate, ``[M, K]`` int32 (K a
+        multiple of PRIM_TILE; padded slots may repeat any index).
+    candidate_valid : jnp.ndarray
+        False for padded/failed candidate slots, ``[M, K]``.
+    intersection_distances_target : jnp.ndarray
+        Per-ray target-hit distance ``[M, R, P]`` (required - it drives the
+        in-kernel cull gate).
+    """
+    number_of_heliostats, number_of_rays, number_of_points = (
+        ray_directions.shape[:3]
+    )
+    k_pad = candidate_indices.shape[1]
+    if k_pad % PRIM_TILE:
+        raise ValueError(
+            f"candidate count ({k_pad}) must be a multiple of the primitive "
+            f"tile ({PRIM_TILE})"
+        )
+
+    # ---- per-primitive quantities (XLA, differentiable), as a [B, 16] table
+    corner_0 = blocking_primitives_corners[:, 0, :3]
+    span_u = blocking_primitives_spans[:, 0, :3]
+    span_v = blocking_primitives_spans[:, 1, :3]
+    normals3 = blocking_primitives_normals[:, :3]
+    span_u_sq = jnp.sum(span_u * span_u, axis=-1)
+    span_v_sq = jnp.sum(span_v * span_v, axis=-1)
+    span_uv = jnp.sum(span_u * span_v, axis=-1)
+    det = span_u_sq * span_v_sq - span_uv * span_uv
+    det_safe = jnp.where(
+        jnp.abs(det) < epsilon, jnp.where(det >= 0, epsilon, -epsilon), det
+    )
+    table = jnp.stack(
+        [
+            normals3[:, 0], normals3[:, 1], normals3[:, 2],
+            span_u[:, 0], span_u[:, 1], span_u[:, 2],
+            span_v[:, 0], span_v[:, 1], span_v[:, 2],
+            jnp.sum(corner_0 * normals3, axis=-1),
+            jnp.sum(corner_0 * span_u, axis=-1),
+            jnp.sum(corner_0 * span_v, axis=-1),
+            span_u_sq, span_v_sq, span_uv,
+            1.0 / det_safe,
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # [B, 16]
+
+    # One gather for all columns; its VJP scatter-adds candidate gradients
+    # back onto the primitive table.
+    gathered = jnp.take(table, candidate_indices.reshape(-1), axis=0)
+    primitive_columns = tuple(
+        gathered[:, c].reshape(-1, 1) for c in range(16)
+    )
+    keep_column = candidate_valid.astype(jnp.float32).reshape(-1, 1)
+
+    # ---- rays: flattened per heliostat, per-heliostat padding ----
+    shape = (number_of_heliostats, number_of_rays, number_of_points)
+    rp = number_of_rays * number_of_points
+    pad_unit = math.lcm(RAY_BLOCK, BWD_RAY_BLOCK)
+    rp_pad = pl.cdiv(rp, pad_unit) * pad_unit
+
+    def flat(x, value=0.0):
+        x = x.reshape(number_of_heliostats, rp)
+        if rp_pad != rp:
+            x = jnp.pad(x, ((0, 0), (0, rp_pad - rp)), constant_values=value)
+        return x.reshape(-1)
+
+    origins3 = jnp.broadcast_to(ray_origins[:, None, :, :3], shape + (3,))
+    directions3 = ray_directions[..., :3]
+    ray_components = tuple(
+        flat(origins3[..., axis]) for axis in range(3)
+    ) + tuple(flat(directions3[..., axis]) for axis in range(3))
+    ray_valid = flat(jnp.ones(shape, jnp.float32))
+    t_target_flat = flat(
+        jax.lax.stop_gradient(intersection_distances_target), value=-1e30
+    )
+
+    sigma = blocking_sigma_pallas_grouped(
+        ray_components,
+        ray_valid,
+        t_target_flat,
+        primitive_columns,
+        keep_column,
+        number_of_heliostats,
+        softness,
+        ray_origin_offset,
+        epsilon,
+    )
+    sigma_sum = sigma.reshape(number_of_heliostats, rp_pad)[:, :rp].reshape(shape)
     return 1.0 - jnp.exp(-alpha * sigma_sum)

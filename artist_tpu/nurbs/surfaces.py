@@ -28,7 +28,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from artist_tpu.geometry.transforms import _normalize, perform_canting
+from artist_tpu.geometry.transforms import (
+    _normalize,
+    canting_rotation_matrices,
+    perform_canting,
+)
 
 
 def validate_uniform_knot_vectors(
@@ -208,11 +212,24 @@ def basis_functions_and_derivatives(
 
 def _finalize_skl(skl, canting, facet_translations):
     """Points/normals (+ optional canting) from the derivative surfaces."""
-    surface_points_homogeneous = skl[..., 0, 0, :]
+    return _finalize_components(
+        skl[..., 0, 0, :],
+        skl[..., 1, 0, :],
+        skl[..., 0, 1, :],
+        canting,
+        facet_translations,
+    )
+
+
+def _finalize_components(
+    surface_points_homogeneous, derivative_u, derivative_v, canting,
+    facet_translations,
+):
+    """Points/normals (+ optional canting) from the (S, S_u, S_v) surfaces."""
     weights = surface_points_homogeneous[..., 3:4]
     points3 = surface_points_homogeneous[..., :3] / weights
 
-    normals3 = jnp.cross(skl[..., 1, 0, :3], skl[..., 0, 1, :3])
+    normals3 = jnp.cross(derivative_u[..., :3], derivative_v[..., :3])
     normals3 = _normalize(normals3)
 
     points4 = jnp.concatenate(
@@ -267,9 +284,6 @@ def _evaluate_shared_grid(
     precision = jax.lax.Precision.HIGHEST
     bu_full = jnp.einsum("pka,pai->pki", bu, onehot_u, precision=precision)
     bv_full = jnp.einsum("plb,pbj->plj", bv, onehot_v, precision=precision)
-    # Joint basis [P, 2, 2, Cu, Cv] - a few hundred kB.
-    joint = bu_full[:, :, None, :, None] * bv_full[:, None, :, None, :]
-    joint2 = joint.reshape(num_p * 4, num_cu * num_cv)
 
     cp_h = jnp.concatenate(
         [
@@ -278,17 +292,66 @@ def _evaluate_shared_grid(
         ],
         axis=-1,
     )
-    cp2 = (
+    # LAYOUT-CRITICAL: the natural [S, F, P, 2, 2, 4] derivative tensor (or
+    # any transpose/reshuffle of it, even one XLA invents while fusing) ends
+    # up as a copy whose minor dim is 4 - tile-padded 32x on TPU, a 20 GB
+    # allocation at 1,000 heliostats. So nothing here is ever more than
+    # 2-D until the final per-component [S, F, P] reshape: one matmul per
+    # derivative order produces the (coord, surface, facet)-major
+    # orientation directly, and the whole finalize is elementwise math with
+    # a final stack onto the coordinate axis (which XLA lays out well).
+    cp2t = (
         cp_h.reshape(num_s * num_f, num_cu * num_cv, 4)
-        .transpose(1, 0, 2)
-        .reshape(num_cu * num_cv, num_s * num_f * 4)
+        .transpose(2, 0, 1)
+        .reshape(4 * num_s * num_f, num_cu * num_cv)
     )
-    skl2 = jnp.dot(joint2, cp2, precision=precision)  # [P*4, S*F*4]
-    skl = (
-        skl2.reshape(num_p, 2, 2, num_s, num_f, 4)
-        .transpose(3, 4, 0, 1, 2, 5)
-    )  # [S, F, P, 2, 2, 4]
-    return _finalize_skl(skl, canting, facet_translations)
+
+    def derivative_surface(k: int, l: int):
+        joint = (
+            bu_full[:, k, :, None] * bv_full[:, l, None, :]
+        ).reshape(num_p, num_cu * num_cv)
+        sklt = jnp.dot(cp2t, joint.T, precision=precision)  # [4c*S*F, P]
+        rows = sklt.reshape(4, num_s, num_f, num_p)
+        return [rows[c] for c in range(4)]  # 4 x [S, F, P]
+
+    value = derivative_surface(0, 0)
+    du = derivative_surface(1, 0)[:3]
+    dv = derivative_surface(0, 1)[:3]
+    inv_weights = 1.0 / value[3]
+    point = [value[c] * inv_weights for c in range(3)]
+
+    # normals = normalize(cross(du, dv)), component-wise.
+    cross = [
+        du[1] * dv[2] - du[2] * dv[1],
+        du[2] * dv[0] - du[0] * dv[2],
+        du[0] * dv[1] - du[1] * dv[0],
+    ]
+    norm = jnp.sqrt(cross[0] ** 2 + cross[1] ** 2 + cross[2] ** 2)
+    norm = jnp.maximum(norm, 1e-12)  # _normalize semantics
+    normal = [c / norm for c in cross]
+
+    if canting is not None:
+        # Row-vector forward canting (data @ R^T), expanded component-wise:
+        # out_c = sum_j data_j * R[c, j]; R is per-(surface, facet).
+        rotation = canting_rotation_matrices(canting)[..., :3, :3]  # [S,F,3,3]
+
+        def cant(vector):
+            return [
+                vector[0] * rotation[:, :, c, 0][..., None]
+                + vector[1] * rotation[:, :, c, 1][..., None]
+                + vector[2] * rotation[:, :, c, 2][..., None]
+                for c in range(3)
+            ]
+
+        point = cant(point)
+        point = [
+            point[c] + facet_translations[:, :, c][..., None] for c in range(3)
+        ]
+        normal = cant(normal)
+
+    points4 = jnp.stack(point + [jnp.ones_like(point[0])], axis=-1)
+    normals4 = jnp.stack(normal + [jnp.zeros_like(normal[0])], axis=-1)
+    return points4, normals4
 
 
 @functools.partial(jax.jit, static_argnames=("degrees",))

@@ -130,6 +130,90 @@ def create_blocking_primitives_rectangles_by_index(
     return corners, spans, normals
 
 
+def select_blocking_candidates(
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    blocking_primitives_corners: jnp.ndarray,
+    ray_primitive_indices: jnp.ndarray | None,
+    intersection_distances_target: jnp.ndarray,
+    max_candidates: int,
+    margin: float = 0.25,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Conservative per-heliostat top-K candidate blocker selection.
+
+    Replaces the reference's per-ray LBVH traversal
+    (artist/raytracing/blocking.py:831-995) with a TPU-friendly two-level
+    scheme: this O(M x B) corridor test picks each heliostat's K most
+    plausible blockers; the exact per-ray behind-the-target gate then runs
+    inside the Pallas pair kernels over those K only. The test is
+    conservative: heliostat m's rays all start within its bounding sphere
+    (radius ``r_m``) and deviate from the mean reflected direction by at
+    most ``tan_dev_m``, so any primitive whose bounding sphere lies outside
+    the corridor ``r_m + r_b + t * tan_dev_m + margin`` cannot receive
+    non-negligible soft-mask weight (the sigmoid gates decay in
+    centimeters at softness 1000; ``margin`` covers their width).
+
+    Entirely non-differentiable (stop-gradient), like the reference cull.
+
+    Returns
+    -------
+    tuple of jnp.ndarray
+        Candidate primitive indices ``[M, K]`` int32 and validity
+        ``[M, K]`` bool, K = ``max_candidates`` (clamped to B).
+    """
+    origins = jax.lax.stop_gradient(ray_origins[..., :3])  # [M, P, 3]
+    directions = jax.lax.stop_gradient(ray_directions[..., :3])  # [M, R, P, 3]
+    corners = jax.lax.stop_gradient(blocking_primitives_corners[:, :, :3])
+    t_target = jax.lax.stop_gradient(intersection_distances_target)
+
+    number_of_heliostats = origins.shape[0]
+    number_of_primitives = corners.shape[0]
+    k = min(max_candidates, number_of_primitives)
+
+    center_m = jnp.mean(origins, axis=1)  # [M, 3]
+    radius_m = jnp.sqrt(
+        jnp.max(jnp.sum((origins - center_m[:, None]) ** 2, axis=-1), axis=1)
+    )  # [M]
+    mean_direction = _normalize(jnp.mean(directions, axis=(1, 2)), eps=1e-9)
+    cos_dev = jnp.min(
+        jnp.einsum("mrpk,mk->mrp", directions, mean_direction), axis=(1, 2)
+    )
+    cos_dev = jnp.clip(cos_dev, 0.05, 1.0)
+    tan_dev = jnp.sqrt(jnp.clip(1.0 - cos_dev**2, 0.0, None)) / cos_dev  # [M]
+    t_max = jnp.max(t_target, axis=(1, 2))  # [M]
+
+    center_b = jnp.mean(corners, axis=1)  # [B, 3]
+    radius_b = jnp.sqrt(
+        jnp.max(jnp.sum((corners - center_b[:, None]) ** 2, axis=-1), axis=1)
+    )  # [B]
+
+    relative = center_b[None] - center_m[:, None]  # [M, B, 3]
+    t_b = jnp.einsum("mbk,mk->mb", relative, mean_direction)  # [M, B]
+    lateral_sq = jnp.sum(relative * relative, axis=-1) - t_b * t_b
+    reach = (
+        radius_m[:, None]
+        + radius_b[None]
+        + tan_dev[:, None] * jnp.clip(t_b, 0.0, None)
+        + margin
+    )
+    passes = (
+        (t_b > -radius_b[None])
+        & (t_b - radius_b[None] < t_max[:, None])
+        & (lateral_sq < reach * reach)
+    )
+    if ray_primitive_indices is not None:
+        passes = passes & (
+            ray_primitive_indices[:, None]
+            != jnp.arange(number_of_primitives)[None, :]
+        )
+
+    # Most-inside-the-corridor first; failed slots rank last.
+    score = jnp.where(passes, lateral_sq - reach * reach, jnp.inf)
+    _, candidate_indices = jax.lax.top_k(-score, k)
+    candidate_valid = jnp.take_along_axis(passes, candidate_indices, axis=1)
+    return candidate_indices.astype(jnp.int32), candidate_valid
+
+
 def _global_primitive_cull(
     ray_origins: jnp.ndarray,
     ray_directions: jnp.ndarray,
@@ -305,6 +389,7 @@ def soft_ray_blocking_mask(
     cull_method: str = "dense",
     primitive_chunk: int | None = None,
     method: str = "auto",
+    max_candidates: int | None = None,
 ) -> jnp.ndarray:
     """Soft differentiable blocking mask with Beer-Lambert accumulation.
 
@@ -345,6 +430,14 @@ def soft_ray_blocking_mask(
         VMEM (kernels/blocking_pallas.py), hand-derived VJP, identical
         semantics. ``"xla"``: the chunked dense formulation. ``"auto"``
         (default): pallas on TPU, xla elsewhere.
+    max_candidates : int | None
+        With the pallas method and target distances given: preselect at most
+        this many candidate blockers per ray-owning heliostat
+        (:func:`select_blocking_candidates`) and run the pair kernels over
+        the compacted ``[M, K]`` set - O(rays x K) instead of
+        O(rays x field). The behind-target cull then applies PER RAY inside
+        the kernel (physically tighter than the reference's
+        any-ray-keeps-the-primitive cull). None = all primitives.
 
     Returns
     -------
@@ -353,6 +446,45 @@ def soft_ray_blocking_mask(
     """
     if method == "auto":
         method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if (
+        method == "pallas"
+        and cull_method == "dense"
+        and max_candidates is not None
+        and intersection_distances_target is not None
+    ):
+        from artist_tpu.kernels.blocking_pallas import (
+            PRIM_TILE,
+            soft_ray_blocking_mask_pallas_compact,
+        )
+
+        candidate_indices, candidate_valid = select_blocking_candidates(
+            ray_origins,
+            ray_directions,
+            blocking_primitives_corners,
+            ray_primitive_indices,
+            intersection_distances_target,
+            max_candidates,
+        )
+        k = candidate_indices.shape[1]
+        k_pad = -(-k // PRIM_TILE) * PRIM_TILE
+        if k_pad != k:
+            pad = ((0, 0), (0, k_pad - k))
+            candidate_indices = jnp.pad(candidate_indices, pad)
+            candidate_valid = jnp.pad(candidate_valid, pad)
+        return soft_ray_blocking_mask_pallas_compact(
+            ray_origins,
+            ray_directions,
+            blocking_primitives_corners,
+            blocking_primitives_spans,
+            blocking_primitives_normals,
+            candidate_indices,
+            candidate_valid,
+            intersection_distances_target,
+            epsilon=epsilon,
+            softness=softness,
+            alpha=alpha,
+            ray_origin_offset=ray_origin_offset,
+        )
     if method == "pallas" and cull_method == "dense":
         from artist_tpu.kernels.blocking_pallas import soft_ray_blocking_mask_pallas
 

@@ -41,6 +41,10 @@ class RenderConfig:
     ray_extinction_factor: float = 0.0
     ray_chunk: int | None = None  # chunk size along the ray axis (None = all)
     splat_method: str = "auto"  # pallas on TPU, XLA scatter on CPU
+    # Per-heliostat splat window (pixels, pallas path): compact-spot
+    # workloads pay window^2-wide matmuls instead of bitmap-wide ones.
+    # None (default) = exact full-bitmap splat.
+    splat_window: int | None = None
     blocking_active: bool = False
     # Chunk size along the blocking-primitive axis: bounds blocking memory to
     # O(M R P chunk) for fields with many blockers (None = single pass).
@@ -48,6 +52,12 @@ class RenderConfig:
     primitive_chunk: int | None = None
     # "pallas" (fused VMEM kernels), "xla", or "auto" (pallas on TPU).
     blocking_method: str = "auto"
+    # Per-heliostat candidate-blocker budget for the pallas path: the pair
+    # kernels run over K preselected candidates (O(rays x K)) instead of the
+    # whole field (O(rays x B)). None = no compaction. 16 covers every
+    # geometrically plausible neighborhood in grid fields; raise for very
+    # dense/low-aim layouts.
+    blocking_candidates: int | None = 16
     # Rematerialize each ray chunk in the backward pass instead of storing
     # its residuals: trades recompute FLOPs for O(chunk) instead of O(rays)
     # activation memory - the standard TPU HBM trade for scan bodies.
@@ -169,6 +179,7 @@ def trace_rays(
                 ray_primitive_indices=ray_primitive_indices,
                 primitive_chunk=config.primitive_chunk,
                 method=config.blocking_method,
+                max_candidates=config.blocking_candidates,
             )
         else:
             blocked = jnp.zeros_like(intensities)
@@ -187,6 +198,7 @@ def trace_rays(
             resolution,
             flip_up_down=False,
             method=config.splat_method,
+            window=config.splat_window,
         )
         on_target_count = jnp.sum(intensities > 0, axis=(1, 2))
         unblocked_count = jnp.sum(blocked < 1e-3, axis=(1, 2))

@@ -24,6 +24,7 @@ def bilinear_splat(
     bitmap_resolution: tuple[int, int],
     flip_up_down: bool = True,
     method: str = "scatter",
+    window: int | None = None,
 ) -> jnp.ndarray:
     """Splat ray intensities onto per-heliostat bitmaps.
 
@@ -47,6 +48,12 @@ def bilinear_splat(
         "auto" (Pallas outer-product kernel on TPU, XLA scatter elsewhere),
         "pallas" (bf16 MXU inputs, fp32 accumulation - single-pass MXU),
         "pallas_fp32" (bit-faithful, ~3x the MXU passes), or "scatter".
+    window : int | None
+        Pallas methods only: splat into a per-heliostat ``window``-pixel
+        square (dynamic offset at the intensity-weighted spot center)
+        instead of the full bitmap - cuts the per-ray cost by
+        ``(H W)/window^2``. Exact while every spot fits its window; see
+        :func:`artist_tpu.kernels.splat_pallas.windowed_drop_fraction`.
 
     Returns
     -------
@@ -71,10 +78,18 @@ def bilinear_splat(
             (num_heliostats, height, width),
         )
     if method in ("pallas", "pallas_fp32"):
-        from artist_tpu.kernels.splat_pallas import bilinear_splat_pallas
+        from artist_tpu.kernels.splat_pallas import (
+            bilinear_splat_pallas,
+            bilinear_splat_windowed,
+        )
 
         compute_dtype = jnp.float32 if method == "pallas_fp32" else jnp.bfloat16
-        bitmaps = bilinear_splat_pallas(e, u, w, (width, height), compute_dtype)
+        if window is not None:
+            bitmaps = bilinear_splat_windowed(
+                e, u, w, (width, height), window, compute_dtype
+            )
+        else:
+            bitmaps = bilinear_splat_pallas(e, u, w, (width, height), compute_dtype)
         if flip_up_down:
             bitmaps = jnp.flip(bitmaps, axis=1)
         return bitmaps

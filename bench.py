@@ -11,8 +11,14 @@ Measurements:
   surface points/facet, 256x256 bitmap; reference:
   examples/field_optimizations/config.yaml:22-40).
 - ``blocking_rays_per_second``: the same step with field-wide soft blocking
-  ON (100 blocking primitives, chunked scan over the primitive axis) - the
-  configuration the aim-point optimizer actually pays for.
+  ON - the configuration the aim-point optimizer actually pays for. On TPU
+  this runs the candidate-compacted Pallas path (K=16 blockers per
+  heliostat, O(rays x K); BENCH_BLOCKING_CANDIDATES=0 reverts to the
+  O(rays x field) flat kernels).
+- ``large_field``: the same two steps at 10x the field (1,000 heliostats,
+  reduced rays/point) - checks the render fits HBM via ray-chunk remat and
+  that compacted blocking keeps per-ray cost near-flat in field size
+  (``blocking_flat_cost_ratio`` ~ 1.0).
 - ``est_mfu`` / ``est_hbm_util``: XLA cost-analysis FLOPs and bytes of the
   compiled step divided by wall time and the chip's peak - a roofline
   position rather than a hardware-relative ratio. ``roofline_bound`` names
@@ -57,6 +63,15 @@ PRIMITIVE_CHUNK = int(os.environ.get("BENCH_PRIMITIVE_CHUNK", 16))
 BITMAP = (256, 256)
 STEPS = int(os.environ.get("BENCH_STEPS", 5))
 RUN_BLOCKING = os.environ.get("BENCH_BLOCKING", "1") != "0"
+# Per-heliostat candidate-blocker budget (0 = uncompacted flat kernels).
+BLOCKING_CANDIDATES = int(os.environ.get("BENCH_BLOCKING_CANDIDATES", 16))
+# Secondary production-scale entry: 10x the field at reduced rays/point.
+RUN_LARGE = os.environ.get("BENCH_LARGE", "1") != "0"
+LARGE_HELIOSTATS = int(os.environ.get("BENCH_LARGE_HELIOSTATS", 1000))
+LARGE_RAYS = int(os.environ.get("BENCH_LARGE_RAYS", 4))
+# Optional per-heliostat splat window (compact-spot workloads; see
+# artist_tpu/kernels/splat_pallas.py). 0 = full-bitmap splat.
+SPLAT_WINDOW = int(os.environ.get("BENCH_SPLAT_WINDOW", 0))
 
 # Peak per-chip numbers for the roofline estimate: (bf16 FLOP/s, HBM B/s).
 # Public figures: v5e 197 TF / 819 GB/s, v4 275 TF / 1228 GB/s,
@@ -106,6 +121,13 @@ def _analytic_flops_and_bytes(rays: int) -> tuple[float, float]:
       ~393 kFLOP/ray and >99% of the step's arithmetic - every other stage
       (NURBS einsums, distortion rotations, intersections) is O(100)
       FLOPs/ray and ignored.
+    - Honesty note: these are the FLOPs of the one-hot matmul FORMULATION,
+      not "useful" 4-pixel-deposit work, so ``est_mfu`` reads as MXU
+      occupancy of the dense splat, not algorithmic efficiency. For
+      compact-spot workloads ``BENCH_SPLAT_WINDOW`` shrinks the formulation
+      itself (see kernels/splat_pallas.py); this bench's synthetic field
+      paints most of the 256^2 plane (oblique incidence), so the full-bitmap
+      splat is the honest default here.
     - Bytes: per-ray streams (distortions in, e/u/w residuals out + re-read
       in the backward, gradient streams back) ~= 9 fp32 values/ray, plus the
       one-hot factor traffic stays in VMEM (never touches HBM).
@@ -116,7 +138,13 @@ def _analytic_flops_and_bytes(rays: int) -> tuple[float, float]:
     return flops, hbm_bytes
 
 
-def _build_step(blocking: bool, mesh=None):
+def _build_step(
+    blocking: bool,
+    mesh=None,
+    heliostats: int = NUM_HELIOSTATS,
+    rays: int = NUM_RAYS,
+    ray_chunk: int = RAY_CHUNK,
+):
     """The flagship differentiable step; returns (jitted step, args, rays)."""
     from artist_tpu.field import heliostat_group as hg
     from artist_tpu.field.solar_tower import get_centers_of_target_areas
@@ -129,9 +157,9 @@ def _build_step(blocking: bool, mesh=None):
     from artist_tpu.scenario.synthetic import make_synthetic_scenario
 
     scenario = make_synthetic_scenario(
-        number_of_heliostats=NUM_HELIOSTATS,
+        number_of_heliostats=heliostats,
         number_of_surface_points_per_facet=SURFACE_POINTS,
-        number_of_rays=NUM_RAYS,
+        number_of_rays=rays,
     )
     group = scenario.heliostat_groups[0]
     tower = scenario.solar_tower
@@ -150,9 +178,11 @@ def _build_step(blocking: bool, mesh=None):
     ground_truth = jnp.ones((num, BITMAP[1], BITMAP[0]), jnp.float32)
     config = RenderConfig(
         bitmap_resolution=BITMAP,
-        ray_chunk=RAY_CHUNK,
+        ray_chunk=ray_chunk if ray_chunk < rays else None,
         blocking_active=blocking,
         primitive_chunk=PRIMITIVE_CHUNK if blocking else None,
+        blocking_candidates=BLOCKING_CANDIDATES or None,
+        splat_window=SPLAT_WINDOW or None,
     )
 
     if mesh is not None:
@@ -224,7 +254,7 @@ def _build_step(blocking: bool, mesh=None):
         distortions_e,
         ground_truth,
     )
-    return step, args, num * NUM_RAYS * num_points
+    return step, args, num * rays * num_points
 
 
 def _measure(step, args, label: str) -> dict:
@@ -388,6 +418,44 @@ def main() -> None:
         except Exception as error:  # noqa: BLE001 - report, don't die
             print(f"blocking measurement failed: {error}", file=sys.stderr)
             result["blocking_rays_per_second"] = 0.0
+
+    if RUN_LARGE:
+        # Production-scale check: 10x the field (reduced rays/point so the
+        # per-step ray count stays comparable). With candidate-compacted
+        # blocking the per-ray cost must stay near-flat in field size.
+        try:
+            large = {}
+            for blocking_on in (False, True) if RUN_BLOCKING else (False,):
+                # Chunk the ray axis even at few rays/point: the scan's
+                # rematerialization is what keeps the backward's activation
+                # memory bounded at 10x field size (unchunked, XLA
+                # materializes a [P, R, M, 4, 4]-sized temp ~ 20 GB).
+                step_l, args_l, rays_l = _build_step(
+                    blocking=blocking_on,
+                    heliostats=LARGE_HELIOSTATS,
+                    rays=LARGE_RAYS,
+                    ray_chunk=max(1, LARGE_RAYS // 2),
+                )
+                label = "large+blocking" if blocking_on else "large"
+                timing = _measure(step_l, args_l, label)
+                key = (
+                    "blocking_rays_per_second"
+                    if blocking_on
+                    else "rays_per_second"
+                )
+                large[key] = round(rays_l / timing["step_seconds"], 1)
+            large["heliostats"] = LARGE_HELIOSTATS
+            large["rays_per_point"] = LARGE_RAYS
+            if RUN_BLOCKING and result.get("blocking_rays_per_second"):
+                large["blocking_flat_cost_ratio"] = round(
+                    large["blocking_rays_per_second"]
+                    / result["blocking_rays_per_second"],
+                    3,
+                )
+            result["large_field"] = large
+        except Exception as error:  # noqa: BLE001 - report, don't die
+            print(f"large-field measurement failed: {error}", file=sys.stderr)
+            result["large_field"] = {"error": str(error)}
 
     # Multi-device scaling efficiency (real chips only; virtual CPU devices
     # share cores, so scaling there measures nothing).

@@ -17,17 +17,26 @@ import sys
 # behind a tunnel with slow remote compiles); tests run on the virtual CPU mesh.
 # The axon sitecustomize overrides jax_platforms in-config at import, so the
 # env var alone is NOT enough - the config must be forced back after import.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+#
+# On-TPU lane (mirrors the reference's device-parametrized fixture,
+# /root/reference/tests/conftest.py:18-49): ``ARTIST_TEST_TPU=1 pytest -m tpu``
+# keeps the real accelerator and runs the ``tpu``-marked kernel/render parity
+# tests non-interpreted on the chip. Expect remote-compile latency; run it
+# serially (one pytest process).
+_TPU_LANE = os.environ.get("ARTIST_TEST_TPU", "") == "1"
+if not _TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE_ROOT = pathlib.Path("/root/reference")

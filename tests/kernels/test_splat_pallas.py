@@ -84,3 +84,83 @@ def test_pallas_padding_consistency():
         )
     )
     np.testing.assert_allclose(full, truncated + delta, atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# Windowed splat (per-heliostat window, dynamic offset).
+# --------------------------------------------------------------------------- #
+
+
+def _compact_spots(num=3, rays=400, width=96, height=80, spread=9.0, seed=11):
+    key = jax.random.PRNGKey(seed)
+    ke, ku, kw, kc = jax.random.split(key, 4)
+    centers_e = jax.random.uniform(kc, (num,), minval=12.0, maxval=width - 12.0)
+    centers_u = jnp.linspace(14.0, height - 14.0, num)
+    e = centers_e[:, None] + spread * (jax.random.uniform(ke, (num, rays)) - 0.5)
+    u = centers_u[:, None] + spread * (jax.random.uniform(ku, (num, rays)) - 0.5)
+    w = jax.random.uniform(kw, (num, rays), minval=0.1, maxval=1.0)
+    return e, u, w
+
+
+def test_windowed_matches_full_when_spots_fit():
+    from artist_tpu.kernels.splat_pallas import windowed_drop_fraction
+
+    e, u, w = _compact_spots()
+    resolution = (96, 80)
+    assert float(windowed_drop_fraction(e, u, w, resolution, 32)) == 0.0
+    full = bilinear_splat(e, u, w, resolution, flip_up_down=False, method="pallas_fp32")
+    windowed = bilinear_splat(
+        e, u, w, resolution, flip_up_down=False, method="pallas_fp32", window=32
+    )
+    np.testing.assert_allclose(
+        np.asarray(windowed), np.asarray(full), rtol=0, atol=1e-5
+    )
+
+
+def test_windowed_gradients_match_full():
+    e, u, w = _compact_spots()
+    resolution = (96, 80)
+    target = jax.random.uniform(jax.random.PRNGKey(3), (3, 80, 96))
+
+    def loss(window):
+        def f(e_, u_, w_):
+            flux = bilinear_splat(
+                e_, u_, w_, resolution, flip_up_down=False,
+                method="pallas_fp32", window=window,
+            )
+            return jnp.sum(flux * target)
+        return jax.grad(f, argnums=(0, 1, 2))(e, u, w)
+
+    for a, b, name in zip(loss(None), loss(32), ("e", "u", "w")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=1e-4, err_msg=name
+        )
+
+
+def test_windowed_edge_clamping():
+    """Spots near the bitmap border: offsets clamp, result still exact."""
+    rays = 200
+    key = jax.random.PRNGKey(5)
+    e = jax.random.uniform(key, (2, rays), minval=0.0, maxval=14.0)
+    u = jax.random.uniform(key, (2, rays), minval=66.0, maxval=79.0)
+    w = jnp.ones((2, rays))
+    resolution = (96, 80)
+    full = bilinear_splat(e, u, w, resolution, flip_up_down=False, method="pallas_fp32")
+    windowed = bilinear_splat(
+        e, u, w, resolution, flip_up_down=False, method="pallas_fp32", window=32
+    )
+    np.testing.assert_allclose(np.asarray(windowed), np.asarray(full), atol=1e-5)
+
+
+def test_windowed_drop_fraction_reports_outliers():
+    from artist_tpu.kernels.splat_pallas import windowed_drop_fraction
+
+    e, u, w = _compact_spots(spread=9.0)
+    # inject one far outlier per heliostat
+    e = e.at[:, 0].set(2.0)
+    u = u.at[:, 0].set(2.0)
+    frac = float(windowed_drop_fraction(e, u, w, (96, 80), 32))
+    # at most all three outliers drop; at least one lies outside its clamped
+    # window (exactly which depends on each spot's weighted center)
+    upper = float(jnp.sum(w[:, 0]) / jnp.sum(w))
+    assert 0.0 < frac <= upper * 1.05

@@ -85,6 +85,9 @@ def test_aim_point_optimizer_shapes_flux():
     losses = np.asarray(history["total_loss"])
     assert np.isfinite(losses).all()
     assert (np.abs(np.diff(losses)) > 0).any()
+    # Descent-to-a-known-optimum and two-framework trajectory parity are
+    # asserted in test_aim_point_convergence.py; at this test's 8-epoch
+    # horizon both frameworks oscillate around the landscape floor.
     assert len(history["flux_integral_constraint"]) == len(history["total_loss"])
     total_heliostats = sum(
         g.number_of_heliostats for g in scenario.heliostat_groups

@@ -1,0 +1,177 @@
+"""On-accelerator test lane: kernel + render parity on the real TPU.
+
+Everything else in the suite pins JAX to the virtual CPU mesh, so the Pallas
+kernels only ever run in interpret mode under pytest; this module runs them
+non-interpreted on the actual chip (mirroring the reference's
+device-parametrized fixture, /root/reference/tests/conftest.py:18-49).
+
+Run with::
+
+    ARTIST_TEST_TPU=1 python -m pytest -m tpu tests/test_tpu_lane.py -q
+
+Skipped automatically on CPU-only sessions. Expect remote-compile latency on
+the first run (the persistent compilation cache makes re-runs fast).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() == "cpu",
+        reason="TPU lane: needs a real accelerator (ARTIST_TEST_TPU=1)",
+    ),
+]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _compile_cache(tmp_path_factory):
+    from artist_tpu.util import enable_compilation_cache
+
+    enable_compilation_cache()
+    yield
+
+
+def test_splat_kernel_parity_on_device():
+    from artist_tpu.raytracing.splatting import bilinear_splat
+
+    key = jax.random.PRNGKey(3)
+    ke, ku, kw = jax.random.split(key, 3)
+    e = jax.random.uniform(ke, (2, 4096), minval=-1.0, maxval=65.0)
+    u = jax.random.uniform(ku, (2, 4096), minval=-1.0, maxval=65.0)
+    w = jax.random.uniform(kw, (2, 4096))
+    resolution = (64, 64)
+    expected = bilinear_splat(e, u, w, resolution, method="scatter")
+    pallas = bilinear_splat(e, u, w, resolution, method="pallas")
+    np.testing.assert_allclose(
+        np.asarray(pallas),
+        np.asarray(expected),
+        atol=2e-3 * float(jnp.max(expected)),
+    )
+    windowed = bilinear_splat(e, u, w, resolution, method="pallas", window=64)
+    np.testing.assert_allclose(
+        np.asarray(windowed), np.asarray(pallas), atol=1e-6
+    )
+
+
+def test_blocking_kernel_parity_on_device():
+    from artist_tpu.raytracing import blocking
+
+    rng = np.random.default_rng(5)
+    heliostats, rays, points = 2, 2, 64
+    origins = np.zeros((heliostats, points, 4), np.float32)
+    for m in range(heliostats):
+        origins[m, :, 0] = np.linspace(-1, 1, points)
+        origins[m, :, 1] = 10.0 * m
+        origins[m, :, 2] = 1.5
+        origins[m, :, 3] = 1.0
+    directions = np.zeros((heliostats, rays, points, 4), np.float32)
+    directions[..., 1] = -1.0
+    directions[..., 2] = -0.02 + 0.01 * rng.standard_normal(
+        (heliostats, rays, points)
+    )
+    directions[..., :3] /= np.linalg.norm(
+        directions[..., :3], axis=-1, keepdims=True
+    )
+    corners = []
+    for m in range(heliostats):
+        c0 = np.asarray([-1.1, 10.0 * m, 0.4, 1.0], np.float32)
+        corners.append(
+            np.stack(
+                [
+                    c0,
+                    c0 + [0.0, 0.0, 2.2, 0.0],
+                    c0 + [2.2, 0.0, 2.2, 0.0],
+                    c0 + [2.2, 0.0, 0.0, 0.0],
+                ]
+            )
+        )
+    corners = jnp.asarray(np.stack(corners))
+    spans = jnp.stack(
+        [corners[:, 1] - corners[:, 0], corners[:, 3] - corners[:, 0]], axis=1
+    )
+    n3 = np.cross(np.asarray(spans[:, 0, :3]), np.asarray(spans[:, 1, :3]))
+    n3 /= np.linalg.norm(n3, axis=-1, keepdims=True)
+    normals = jnp.asarray(
+        np.concatenate([n3, np.zeros((len(n3), 1), np.float32)], axis=1)
+    )
+    kwargs = dict(
+        intersection_distances_target=jnp.full((heliostats, rays, points), 40.0),
+        ray_primitive_indices=jnp.arange(heliostats, dtype=jnp.int32),
+    )
+    args = (jnp.asarray(origins), jnp.asarray(directions), corners, spans, normals)
+    dense = blocking.soft_ray_blocking_mask(*args, **kwargs, method="xla")
+    flat = blocking.soft_ray_blocking_mask(*args, **kwargs, method="pallas")
+    compact = blocking.soft_ray_blocking_mask(
+        *args, **kwargs, method="pallas", max_candidates=16
+    )
+    assert float(jnp.mean(dense)) > 0.05, "scene produced no blocking"
+    np.testing.assert_allclose(np.asarray(flat), np.asarray(dense), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(compact), np.asarray(dense), atol=2e-3)
+
+
+def test_render_parity_on_device():
+    """End-to-end render: Pallas splat + compact blocking vs the XLA paths."""
+    from artist_tpu.field import heliostat_group as hg
+    from artist_tpu.field.solar_tower import get_centers_of_target_areas
+    from artist_tpu.raytracing import RenderConfig, trace_rays
+    from artist_tpu.raytracing.blocking import (
+        create_blocking_primitives_rectangles_by_index,
+    )
+    from artist_tpu.scenario.synthetic import make_synthetic_scenario
+
+    scenario = make_synthetic_scenario(
+        number_of_heliostats=4,
+        number_of_surface_points_per_facet=(8, 8),
+        number_of_rays=8,
+    )
+    group = scenario.heliostat_groups[0]
+    tower = scenario.solar_tower
+    num = group.number_of_heliostats
+    indices = jnp.arange(num, dtype=jnp.int32)
+    targets = jnp.zeros(num, dtype=jnp.int32)
+    incident = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0, 0.0], jnp.float32), (num, 4)
+    )
+    aim = get_centers_of_target_areas(tower, targets)
+    active = hg.gather_active(group, indices)
+    points, normals, _, _ = hg.align_surfaces_with_incident_ray_directions(
+        active, aim, incident
+    )
+    du, de = scenario.light_sources[0].get_distortions(
+        jax.random.PRNGKey(2), points.shape[1], num
+    )
+    primitives = create_blocking_primitives_rectangles_by_index(points)
+
+    def render(**overrides):
+        config = RenderConfig(
+            bitmap_resolution=(64, 64), blocking_active=True, **overrides
+        )
+        flux, intercept, _, blocking_factor = trace_rays(
+            tower=tower,
+            aligned_surface_points=points,
+            aligned_surface_normals=normals,
+            incident_ray_directions=incident,
+            target_area_indices=targets,
+            distortions_u=du,
+            distortions_e=de,
+            blocking_primitives=primitives,
+            ray_primitive_indices=indices,
+            config=config,
+        )
+        return np.asarray(flux), np.asarray(intercept), np.asarray(blocking_factor)
+
+    flux_ref, intercept_ref, blocking_ref = render(
+        splat_method="scatter", blocking_method="xla"
+    )
+    flux_tpu, intercept_tpu, blocking_tpu = render()  # all-Pallas defaults
+    scale = max(float(flux_ref.mean()), 1e-6)
+    np.testing.assert_allclose(
+        flux_tpu, flux_ref, atol=max(0.01 * scale, 1e-6), rtol=0.01
+    )
+    np.testing.assert_allclose(intercept_tpu, intercept_ref, atol=1e-3)
+    np.testing.assert_allclose(blocking_tpu, blocking_ref, atol=1e-3)
