@@ -219,8 +219,22 @@ def trace_rays(
         du = distortions_u.reshape(num_active, num_chunks, chunk, num_points)
         de = distortions_e.reshape(num_active, num_chunks, chunk, num_points)
 
+        # Remat each chunk, but SAVE the blocking pair kernel's summed sigma
+        # (named inside the Pallas mask paths): the cotangent of the
+        # Beer-Lambert mask needs sigma's value, so a plain remat re-runs
+        # the whole forward pair kernel in the backward. Saving it costs
+        # O(rays) fp32 per chunk and removes one of the three pair-kernel
+        # passes. With blocking off nothing is named and this is identical
+        # to jax.checkpoint's default full remat.
         chunk_fn = (
-            jax.checkpoint(trace_chunk) if config.remat_chunks else trace_chunk
+            jax.checkpoint(
+                trace_chunk,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "blocking_sigma"
+                ),
+            )
+            if config.remat_chunks
+            else trace_chunk
         )
 
         def body(carry, chunk_slices):
