@@ -22,6 +22,19 @@ Performance notes (measured on v5e, 32M rays, 256x256 bitmaps):
   intermediates are fp32 and VMEM-bound; 1024-4096 measured within noise,
   and bf16 ``c0/cd`` bought nothing - the backward is bound by factor
   construction, not the MXU or VMEM).
+- Ceiling (measured, v5e, 32M rays): forward ~54 ms, backward ~60 ms.
+  Decomposition: factor construction alone ~30 ms, the dot alone ~52 ms
+  (the [256, 8192] @ [8192, 256] shape - tiny 4-tile output, long
+  contraction - runs at ~0.5 of nominal bf16 peak both here and as a pure
+  XLA dot), so Mosaic already overlaps a good fraction of VPU build with
+  MXU work. Variants that did NOT help: native-bf16 factor arithmetic
+  (63 ms - bf16 VPU ops are not packed 2x on v5e), 2/4/8-way straight-line
+  sub-chunk unrolling (57 ms - no extra MXU/VPU overlap), fori_loop
+  sub-chunks (58 ms), 4096-ray blocks (72 ms). Halving the factor H only
+  bought 11%, confirming the dot, not the build, is the binding cost.
+  Lower cost requires shrinking the formulation (windowed splat below) -
+  but see bench.py's honesty note: wide sun-cone spread makes windows
+  unsound for bitmap-filling production geometries.
 
 The backward pass is two more matmuls per block (``A0 @ g`` and
 ``Ad @ g``), wired up via ``jax.custom_vjp``.

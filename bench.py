@@ -109,6 +109,38 @@ def _warm_remote_compiler() -> None:
     )
 
 
+def _measure_matmul_peak(n: int = 4096, chain: int = 20) -> float:
+    """Measured bf16 matmul FLOP/s: ``chain`` dependent ``n^3`` dots in one
+    jit call (no host round-trips inside the timed region). Near-identity
+    operand keeps values bounded without a normalizing reduce."""
+    if jax.default_backend() == "cpu":
+        return 0.0
+    try:
+        a = (
+            jnp.eye(n, dtype=jnp.float32)
+            + 3e-4 * jax.random.normal(jax.random.PRNGKey(0), (n, n))
+        ).astype(jnp.bfloat16)
+
+        @jax.jit
+        def run(x):
+            def body(_, x):
+                return jax.lax.dot(
+                    x, a, preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16)
+
+            return jax.lax.fori_loop(0, chain, body, x)
+
+        x0 = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+        jax.block_until_ready(run(x0))
+        start = time.perf_counter()
+        jax.block_until_ready(run(x0))
+        elapsed = time.perf_counter() - start
+        return 2.0 * n**3 * chain / elapsed
+    except Exception as error:  # noqa: BLE001 - diagnostics must not kill bench
+        print(f"matmul peak calibration failed: {error}", file=sys.stderr)
+        return 0.0
+
+
 def _analytic_flops_and_bytes(rays: int) -> tuple[float, float]:
     """Dominant-term FLOP/byte model of the fwd+bwd step (lower bound).
 
@@ -125,9 +157,18 @@ def _analytic_flops_and_bytes(rays: int) -> tuple[float, float]:
       not "useful" 4-pixel-deposit work, so ``est_mfu`` reads as MXU
       occupancy of the dense splat, not algorithmic efficiency. For
       compact-spot workloads ``BENCH_SPLAT_WINDOW`` shrinks the formulation
-      itself (see kernels/splat_pallas.py); this bench's synthetic field
-      paints most of the 256^2 plane (oblique incidence), so the full-bitmap
-      splat is the honest default here.
+      itself (see kernels/splat_pallas.py); at THIS bench's geometry
+      windowing is measurably inapplicable: per-heliostat spot extents are
+      p50 ~185 px / max ~241 px of the 256-px plane (the target plane is
+      sized to the image of a production heliostat), per-surface-point
+      sun-cone spread alone is p50 ~15 px / max ~60 px, and even a
+      Morton-clustered point permutation leaves per-2048-ray-block extents
+      of p99 ~187 px - a static window must cover the max to stay exact, so
+      no window < the bitmap is sound here. The full-bitmap splat is the
+      honest default, and its matmul shape ([256, B] @ [B, 256], long
+      contraction, 4-tile output) tops out near ~0.5-0.6 of nominal bf16
+      peak on v5e (measured both in-kernel and as a pure XLA dot of the
+      same shape), which bounds the headline for this formulation.
     - Bytes: per-ray streams (distortions in, e/u/w residuals out + re-read
       in the backward, gradient streams back) ~= 9 fp32 values/ray, plus the
       one-hot factor traffic stays in VMEM (never touches HBM).
@@ -407,6 +448,15 @@ def main() -> None:
         result["est_mfu"] = round(mfu, 4)
         result["est_hbm_util"] = round(hbm, 4)
         result["roofline_bound"] = "compute" if mfu > hbm else "memory"
+
+    # Honest denominator: nominal peak is rarely reachable through a
+    # tunneled/virtualized device. Measure the device's actual large-matmul
+    # throughput (20 chained 4096^3 bf16 dots, no host round-trips inside)
+    # and report the step's MFU against THAT too.
+    measured_peak = _measure_matmul_peak()
+    if measured_peak > 0:
+        result["measured_matmul_tflops"] = round(measured_peak / 1e12, 1)
+        result["mfu_vs_measured_peak"] = round(achieved_flops / measured_peak, 4)
 
     if RUN_BLOCKING:
         try:
