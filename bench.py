@@ -431,9 +431,15 @@ def bench_torch_reference() -> float:
         tracer = step()  # warmup
         num_rays = tracer.distortions_dataset.distortions_u.shape[1]
         num_points = group.active_surface_points.shape[1]
-        start = time.perf_counter()
-        step()
-        elapsed = time.perf_counter() - start
+        # Best-of-2: host-CPU contention inflated single-shot baselines by
+        # up to 2.5x run-to-run; the min is the reference's fair (least
+        # contended) speed, which is the GENEROUS denominator for
+        # vs_baseline.
+        elapsed = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            step()
+            elapsed = min(elapsed, time.perf_counter() - start)
         rays_per_second.append(num * num_rays * num_points / elapsed)
     return float(np.mean(rays_per_second)) if rays_per_second else 0.0
 
