@@ -476,8 +476,9 @@ def main() -> None:
 
     # Honest denominator: nominal peak is rarely reachable through a
     # tunneled/virtualized device. Measure the device's actual large-matmul
-    # throughput (20 chained 4096^3 bf16 dots, no host round-trips inside)
-    # and report the step's MFU against THAT too.
+    # throughput (two chained-4096^3-bf16-dot chain lengths, 50 and 250 dots;
+    # the slope between them cancels the per-call dispatch cost) and report
+    # the step's MFU against THAT too.
     measured_peak = _measure_matmul_peak()
     if measured_peak > 0:
         result["measured_matmul_tflops"] = round(measured_peak / 1e12, 1)

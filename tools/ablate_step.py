@@ -1,9 +1,10 @@
 """Device-time decomposition of the bench step by ablation (pipelined timing)."""
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
@@ -33,7 +34,7 @@ aim_points = get_centers_of_target_areas(tower, target_indices)
 du, de = scenario.light_sources[0].get_distortions(jax.random.PRNGKey(7), num_points, num)
 gt = jnp.ones((num, 256, 256), jnp.float32)
 config = RenderConfig(bitmap_resolution=(256, 256), ray_chunk=4)
-RAYS = num * 32 * num_points
+RAYS = num * du.shape[1] * num_points
 
 
 def loss_fn(control_points, group, du, de, gt, *, nurbs=True, splat=True):
