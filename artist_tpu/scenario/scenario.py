@@ -272,11 +272,13 @@ def _load_surface_config(facets_group: h5py.Group) -> dict:
     }
 
 
-def _load_kinematics(kinematics_group: h5py.Group) -> dict:
+def _load_kinematics(kinematics_group: h5py.Group, owner: str = "prototype") -> dict:
     """Kinematics type, initial orientation, packed deviations.
 
     reference: artist/io/h5_scenario_parser.py:79-371. Missing deviation
-    entries default to zero (the reference logs a warning per key).
+    entries default to zero with a per-key warning naming the owning
+    heliostat (or "prototype"), mirroring the reference's operator-facing
+    diagnostics.
     """
     kinematics_type = kinematics_group[constants.kinematics_type][()].decode("utf-8")
     if kinematics_type != constants.rigid_body_key:
@@ -309,17 +311,20 @@ def _load_kinematics(kinematics_group: h5py.Group) -> dict:
         constants.second_joint_tilt_e,
         constants.second_joint_tilt_n,
     ]
-    if deviations is not None:
-        for row, key in enumerate(translation_keys):
-            if key in deviations:
-                translation[row] = float(deviations[key][()])
-            else:
-                log.warning("No kinematics deviation %s set. Using default 0.", key)
-        for row, key in enumerate(rotation_keys):
-            if key in deviations:
-                rotation[row] = float(deviations[key][()])
-            else:
-                log.warning("No kinematics deviation %s set. Using default 0.", key)
+    for row, key in enumerate(translation_keys):
+        if deviations is not None and key in deviations:
+            translation[row] = float(deviations[key][()])
+        else:
+            log.warning(
+                "No kinematics deviation %s for %s set. Using default 0.", key, owner
+            )
+    for row, key in enumerate(rotation_keys):
+        if deviations is not None and key in deviations:
+            rotation[row] = float(deviations[key][()])
+        else:
+            log.warning(
+                "No kinematics deviation %s for %s set. Using default 0.", key, owner
+            )
     return {
         "type": kinematics_type,
         "initial_orientation": initial_orientation,
@@ -341,10 +346,14 @@ def _initial_angle_compensation() -> float:
     return float(axis[indices.e] * angle)
 
 
-def _load_actuators(actuator_group: h5py.Group, prototype: bool = False) -> dict:
+def _load_actuators(
+    actuator_group: h5py.Group, prototype: bool = False, owner: str = "prototype"
+) -> dict:
     """Packed actuator parameter tensors from an actuator HDF5 group.
 
-    reference: artist/io/h5_scenario_parser.py:373-723.
+    reference: artist/io/h5_scenario_parser.py:373-723. Missing linear
+    actuator parameters default to zero with a per-key warning naming the
+    actuator and owning heliostat, mirroring the reference.
     """
     actuator_names = list(actuator_group.keys())
     number_of_actuators = len(actuator_names)
@@ -405,7 +414,12 @@ def _load_actuators(actuator_group: h5py.Group, prototype: bool = False) -> dict
                 if params is not None and key in params:
                     non_optimizable[row, column] = float(params[key][()])
                 else:
-                    log.warning("No individual %s set for %s. Using default 0.", key, name)
+                    log.warning(
+                        "No individual %s set for %s on %s. Using default 0.",
+                        key,
+                        name,
+                        owner,
+                    )
             for row, key in (
                 (indices.actuator_initial_angle, constants.actuator_initial_angle),
                 (
@@ -415,6 +429,13 @@ def _load_actuators(actuator_group: h5py.Group, prototype: bool = False) -> dict
             ):
                 if params is not None and key in params:
                     optimizable[row, column] = float(params[key][()])
+                else:
+                    log.warning(
+                        "No individual %s set for %s on %s. Using default 0.",
+                        key,
+                        name,
+                        owner,
+                    )
 
     if actuator_type == constants.linear_actuator_key:
         # Compensate actuator one's initial angle for the surface-up vs
@@ -521,18 +542,36 @@ def load_scenario_from_hdf5(
                     heliostat[constants.heliostat_surface_key][constants.facets_key]
                 )
             else:
+                log.info(
+                    "Individual surface parameters not provided - loading "
+                    "heliostat %s with the surface prototype.",
+                    heliostat_name,
+                )
                 surface = prototype_surface
 
             if constants.heliostat_kinematics_key in heliostat:
                 kinematics = _load_kinematics(
-                    heliostat[constants.heliostat_kinematics_key]
+                    heliostat[constants.heliostat_kinematics_key],
+                    owner=heliostat_name,
                 )
             else:
+                log.info(
+                    "Individual kinematics configuration not provided - loading "
+                    "heliostat %s with the kinematics prototype.",
+                    heliostat_name,
+                )
                 kinematics = prototype_kinematics
 
             if constants.heliostat_actuator_key in heliostat:
-                actuator = _load_actuators(heliostat[constants.heliostat_actuator_key])
+                actuator = _load_actuators(
+                    heliostat[constants.heliostat_actuator_key], owner=heliostat_name
+                )
             else:
+                log.info(
+                    "Individual actuator configuration not provided - loading "
+                    "heliostat %s with the actuator prototype.",
+                    heliostat_name,
+                )
                 actuator = prototype_actuators
 
             control_points = surface["control_points"]

@@ -96,6 +96,124 @@ def test_invalid_single_target_raises(scenario):
         )
 
 
+def test_prototype_fallback_diagnostics(tmp_path, caplog):
+    """Per-key and per-section fallback diagnostics mirror the reference.
+
+    reference: artist/io/h5_scenario_parser.py:79-371 (per missing deviation
+    or actuator-parameter key) and artist/field/heliostat_field.py:154-195
+    (whole-section prototype fallback).
+    """
+    import logging
+
+    import h5py
+
+    from artist_tpu.scenario.h5_generator import H5ScenarioGenerator
+    from artist_tpu.scenario.surface_generator import SurfaceGenerator
+    from artist_tpu.util import constants
+    from artist_tpu.util.config import (
+        ActuatorConfig,
+        ActuatorListConfig,
+        ActuatorParameters,
+        HeliostatConfig,
+        HeliostatListConfig,
+        KinematicsConfig,
+        LightSourceConfig,
+        LightSourceListConfig,
+        PowerPlantConfig,
+        PrototypeConfig,
+        TargetAreaPlanarConfig,
+    )
+
+    canting = np.zeros((4, 2, 4), np.float32)
+    canting[:, 0, 0] = 0.8
+    canting[:, 1, 1] = 0.64
+    translations = np.zeros((4, 4), np.float32)
+    surface = SurfaceGenerator(
+        number_of_control_points=(4, 4)
+    ).generate_ideal_surface_config(translations, canting)
+    generator = H5ScenarioGenerator(
+        file_path=tmp_path / "diag_scenario.h5",
+        power_plant_config=PowerPlantConfig(
+            power_plant_position=np.array([50.9, 6.4, 87.0])
+        ),
+        target_area_list_planar_config=[
+            TargetAreaPlanarConfig(
+                target_area_key="receiver",
+                center=np.array([0.0, -3.0, 45.0, 1.0]),
+                normal_vector=np.array([0.0, 1.0, 0.0, 0.0]),
+                plane_e=8.0,
+                plane_u=7.0,
+            )
+        ],
+        target_area_list_cylindrical_config=[],
+        light_source_list_config=LightSourceListConfig(
+            light_source_list=[
+                LightSourceConfig(light_source_key="sun_1", number_of_rays=4)
+            ]
+        ),
+        heliostat_list_config=HeliostatListConfig(
+            heliostat_list=[
+                HeliostatConfig(
+                    name="HELIO_DIAG",
+                    heliostat_id=1,
+                    position=np.array([10.0, 30.0, 1.7, 1.0]),
+                )
+            ]
+        ),
+        prototype_config=PrototypeConfig(
+            surface_prototype=surface,
+            kinematics_prototype=KinematicsConfig(),
+            actuators_prototype=ActuatorListConfig(
+                actuator_list=[
+                    ActuatorConfig(
+                        actuator_key=f"actuator_{i}",
+                        actuator_type=constants.linear_actuator_key,
+                        clockwise_axis_movement=bool(i),
+                        min_max_motor_positions=np.array([0, 70000]),
+                        parameters=ActuatorParameters(
+                            increment=154166.67,
+                            initial_stroke_length=0.075,
+                            offset=0.34,
+                            pivot_radius=0.32,
+                            initial_angle=0.5,
+                        ),
+                    )
+                    for i in range(2)
+                ]
+            ),
+        ),
+    )
+    path = generator.generate_scenario()
+
+    # Remove one deviation key and one actuator parameter from the prototype
+    # so the per-key default warnings fire.
+    with h5py.File(path, "r+") as f:
+        prototypes = f[constants.prototype_key]
+        del prototypes[constants.kinematics_prototype_key][
+            constants.kinematics_deviations
+        ][constants.first_joint_tilt_n]
+        del prototypes[constants.actuators_prototype_key]["actuator_0"][
+            constants.actuator_parameters_key
+        ][constants.actuator_pivot_radius]
+
+    with caplog.at_level(logging.INFO, logger="artist_tpu"):
+        load_scenario_from_hdf5(path, number_of_surface_points_per_facet=(4, 4))
+    messages = [record.getMessage() for record in caplog.records]
+    assert any(
+        constants.first_joint_tilt_n in m and "prototype" in m and "default 0" in m
+        for m in messages
+    ), messages
+    assert any(
+        constants.actuator_pivot_radius in m and "actuator_0" in m for m in messages
+    ), messages
+    # Whole-section fallback names the heliostat (log.info, reference:
+    # artist/field/heliostat_field.py:159-193).
+    for section in ("surface", "kinematics", "actuator"):
+        assert any(
+            section in m and "HELIO_DIAG" in m and "prototype" in m for m in messages
+        ), (section, messages)
+
+
 def test_broken_actuator_scenarios_raise():
     # Mixed actuator types within one heliostat are invalid for rigid-body
     # kinematics, whether they come from an individual config or the
