@@ -89,7 +89,11 @@ class CheckpointManager:
             step = self._manager.latest_step()
         if step is None:
             return None
-        state = self._manager.restore(step)
+        # StandardRestore without a target returns the saved tree as nested
+        # dicts of numpy arrays; callers re-attach structure via
+        # optim.checkpointing.unpack_pytree (which validates leaf counts),
+        # so orbax's "no target tree" caution is satisfied by construction.
+        state = self._manager.restore(step, args=ocp.args.StandardRestore())
         log.info("Restored checkpoint step %d from %s.", step, self.directory)
         return state
 

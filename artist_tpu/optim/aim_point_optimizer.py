@@ -29,7 +29,7 @@ import optax
 
 from artist_tpu.field import heliostat_group as hg
 from artist_tpu.field.solar_tower import get_centers_of_target_areas
-from artist_tpu.optim import losses, training
+from artist_tpu.optim import checkpointing, losses, training
 from artist_tpu.parallel import collectives
 from artist_tpu.parallel.env import DistributedSetup
 from artist_tpu.parallel.mesh import fetch_global, put_global
@@ -87,6 +87,8 @@ class AimPointOptimizer:
         seed: int = 7,
         distributed_setup: DistributedSetup | None = None,
         mesh: jax.sharding.Mesh | None = None,
+        checkpoint_dir=None,
+        checkpoint_every: int = 25,
     ) -> None:
         self.scenario = scenario
         self.distributed_setup = distributed_setup
@@ -105,6 +107,8 @@ class AimPointOptimizer:
         self.bitmap_resolution = tuple(bitmap_resolution)
         self.epsilon = epsilon
         self.seed = seed
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = int(checkpoint_every)
 
     # ------------------------------------------------------------------ #
 
@@ -496,6 +500,31 @@ class AimPointOptimizer:
         loss_value = np.inf
         aux = None
         epoch = 0
+
+        ckpt = None
+        if self.checkpoint_dir is not None:
+            ckpt = checkpointing.LoopCheckpointer(
+                self.checkpoint_dir, "aim_point", every=self.checkpoint_every
+            )
+            restored = ckpt.restore_latest()
+            if restored is not None:
+                epoch = int(restored["epoch"]) + 1
+                params = checkpointing.unpack_pytree(params, restored["params"])
+                opt_state = checkpointing.unpack_pytree(
+                    opt_state, restored["opt_state"]
+                )
+                lambdas = checkpointing.unpack_pytree(lambdas, restored["lambdas"])
+                references = checkpointing.unpack_pytree(
+                    references, restored["references"]
+                )
+                loss_value = float(restored["last_loss"])
+                checkpointing.restore_scheduler(scheduler, restored["scheduler"])
+                checkpointing.restore_early_stopping(
+                    early_stopper, restored["early_stopping"]
+                )
+                checkpointing.restore_history(history, restored["history"])
+                log.info("Resuming aim-point optimization at epoch %d.", epoch)
+
         while loss_value > tolerance and epoch <= max_epoch:
             if isinstance(scheduler, training.ReduceOnPlateau):
                 learning_rate = scheduler.learning_rate
@@ -535,8 +564,32 @@ class AimPointOptimizer:
             if early_stopper.step(loss_value):
                 log.info("Early stopping at epoch %d.", epoch)
                 break
+            if ckpt is not None and ckpt.should_save(epoch):
+                ckpt.save(
+                    epoch,
+                    {
+                        "params": checkpointing.pack_pytree(
+                            jax.tree.map(fetch_global, params)
+                        ),
+                        "opt_state": checkpointing.pack_pytree(
+                            jax.tree.map(fetch_global, opt_state)
+                        ),
+                        "lambdas": checkpointing.pack_pytree(lambdas),
+                        "references": checkpointing.pack_pytree(
+                            jax.tree.map(fetch_global, references)
+                        ),
+                        "last_loss": np.float64(loss_value),
+                        "scheduler": checkpointing.scheduler_state(scheduler),
+                        "early_stopping": checkpointing.early_stopping_state(
+                            early_stopper
+                        ),
+                        "history": checkpointing.pack_history(history),
+                    },
+                )
             epoch += 1
 
+        if ckpt is not None:
+            ckpt.finish()
         # Write optimized motor positions back into the scenario groups
         # (fetch_global: under a multi-process mesh the updated params may be
         # device-sharded across hosts).

@@ -34,7 +34,7 @@ from artist_tpu.field import kinematics_rigid_body as rigid_body
 from artist_tpu.flux.bitmap import get_center_of_mass
 from artist_tpu.geometry.coordinates import bitmap_coordinates_to_target_coordinates
 from artist_tpu.geometry.transforms import _normalize
-from artist_tpu.optim import losses, training
+from artist_tpu.optim import checkpointing, losses, training
 from artist_tpu.parallel import collectives
 from artist_tpu.parallel.env import DistributedSetup
 from artist_tpu.parallel.mesh import put_global
@@ -110,6 +110,8 @@ class KinematicsReconstructor:
         mesh: jax.sharding.Mesh | None = None,
         seed: int = 7,
         distributed_setup: DistributedSetup | None = None,
+        checkpoint_dir=None,
+        checkpoint_every: int = 25,
     ) -> None:
         if reconstruction_method not in (
             constants.kinematics_reconstruction_raytracing,
@@ -131,6 +133,8 @@ class KinematicsReconstructor:
             mesh = distributed_setup.mesh
         self.mesh = mesh
         self.seed = seed
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = int(checkpoint_every)
 
     # ------------------------------------------------------------------ #
 
@@ -495,6 +499,35 @@ class KinematicsReconstructor:
             loss_value = np.inf
             per_heliostat = None
             epoch = 0
+
+            ckpt = None
+            if self.checkpoint_dir is not None:
+                ckpt = checkpointing.LoopCheckpointer(
+                    self.checkpoint_dir,
+                    f"kinematics_group_{group_index}",
+                    every=self.checkpoint_every,
+                )
+                restored = ckpt.restore_latest()
+                if restored is not None:
+                    epoch = int(restored["epoch"]) + 1
+                    rotation_deviations = jnp.asarray(
+                        restored["rotation_deviations"]
+                    )
+                    opt_state = checkpointing.unpack_pytree(
+                        opt_state, restored["opt_state"]
+                    )
+                    loss_value = float(restored["last_loss"])
+                    checkpointing.restore_scheduler(scheduler, restored["scheduler"])
+                    checkpointing.restore_early_stopping(
+                        early_stopper, restored["early_stopping"]
+                    )
+                    checkpointing.restore_history(history, restored["history"])
+                    log.info(
+                        "Resuming kinematics reconstruction of group %d at epoch %d.",
+                        group_index,
+                        epoch,
+                    )
+
             while loss_value > tolerance and epoch <= max_epoch:
                 if isinstance(scheduler, training.ReduceOnPlateau):
                     learning_rate = scheduler.learning_rate
@@ -524,8 +557,24 @@ class KinematicsReconstructor:
                     log.info("Early stopping at epoch %d.", epoch)
                     break
                 history.append(loss_value)
+                if ckpt is not None and ckpt.should_save(epoch):
+                    ckpt.save(
+                        epoch,
+                        {
+                            "rotation_deviations": np.asarray(rotation_deviations),
+                            "opt_state": checkpointing.pack_pytree(opt_state),
+                            "last_loss": np.float64(loss_value),
+                            "scheduler": checkpointing.scheduler_state(scheduler),
+                            "early_stopping": checkpointing.early_stopping_state(
+                                early_stopper
+                            ),
+                            "history": checkpointing.pack_history(history),
+                        },
+                    )
                 epoch += 1
 
+            if ckpt is not None:
+                ckpt.finish()
             self.scenario.heliostat_groups[group_index] = group.replace(
                 rotation_deviations=rotation_deviations
             )

@@ -37,7 +37,7 @@ from artist_tpu.field import heliostat_group as hg
 from artist_tpu.field.solar_tower import get_centers_of_target_areas
 from artist_tpu.flux.bitmap import crop_flux_distributions_around_center
 from artist_tpu.nurbs import create_nurbs_evaluation_grid, evaluate_nurbs_surfaces
-from artist_tpu.optim import losses, training
+from artist_tpu.optim import checkpointing, losses, training
 from artist_tpu.optim.regularizers import (
     ideal_surface_regularizer,
     smoothness_regularizer,
@@ -110,6 +110,16 @@ class SurfaceReconstructor:
         Optional device mesh with axes ``("heliostats", "rays")``; shards the
         sample and ray axes of the render. Defaults to
         ``distributed_setup.mesh`` when a setup is given.
+    checkpoint_dir : path | None
+        When set, the per-group epoch loop periodically saves its full
+        resume state (control points, optax state, AL multipliers and
+        reference integrals, scheduler / early-stopping state, histories,
+        epoch) under ``checkpoint_dir/surface_group_{i}`` and resumes from
+        the latest checkpoint on restart. The reference has no training
+        checkpoints (scenario HDF5 only); see
+        :mod:`artist_tpu.optim.checkpointing`.
+    checkpoint_every : int
+        Save cadence in epochs (default 25).
     distributed_setup : DistributedSetup | None
         Multi-process setup from ``setup_distributed_environment``. When
         distributed and non-nested, each process reconstructs only its
@@ -132,8 +142,12 @@ class SurfaceReconstructor:
         mesh: jax.sharding.Mesh | None = None,
         seed: int = 7,
         distributed_setup: DistributedSetup | None = None,
+        checkpoint_dir=None,
+        checkpoint_every: int = 25,
     ) -> None:
         self.scenario = scenario
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = int(checkpoint_every)
         self.data = data
         self.optimizer_dict = optimization_configuration[constants.optimization]
         self.scheduler_dict = optimization_configuration[constants.scheduler]
@@ -616,6 +630,35 @@ class SurfaceReconstructor:
             total_loss = np.inf
             total_per_heliostat = None
             epoch = 0
+
+            ckpt = None
+            if self.checkpoint_dir is not None:
+                ckpt = checkpointing.LoopCheckpointer(
+                    self.checkpoint_dir,
+                    f"surface_group_{group_index}",
+                    every=self.checkpoint_every,
+                )
+                restored = ckpt.restore_latest()
+                if restored is not None:
+                    epoch = int(restored["epoch"]) + 1
+                    control_points = jnp.asarray(restored["control_points"])
+                    opt_state = checkpointing.unpack_pytree(
+                        opt_state, restored["opt_state"]
+                    )
+                    lambda_flux = jnp.asarray(restored["lambda_flux"])
+                    flux_ref = jnp.asarray(restored["flux_integrals_reference"])
+                    total_loss = float(restored["last_loss"])
+                    checkpointing.restore_scheduler(scheduler, restored["scheduler"])
+                    checkpointing.restore_early_stopping(
+                        early_stopper, restored["early_stopping"]
+                    )
+                    checkpointing.restore_history(history, restored["history"])
+                    log.info(
+                        "Resuming surface reconstruction of group %d at epoch %d.",
+                        group_index,
+                        epoch,
+                    )
+
             while total_loss > tolerance and epoch <= max_epoch:
                 if isinstance(scheduler, training.ReduceOnPlateau):
                     learning_rate = scheduler.learning_rate
@@ -659,8 +702,26 @@ class SurfaceReconstructor:
                 history["flux_integral_constraint"].append(
                     float(aux["flux_integral_constraint"])
                 )
+                if ckpt is not None and ckpt.should_save(epoch):
+                    ckpt.save(
+                        epoch,
+                        {
+                            "control_points": np.asarray(control_points),
+                            "opt_state": checkpointing.pack_pytree(opt_state),
+                            "lambda_flux": np.asarray(lambda_flux),
+                            "flux_integrals_reference": np.asarray(flux_ref),
+                            "last_loss": np.float64(total_loss),
+                            "scheduler": checkpointing.scheduler_state(scheduler),
+                            "early_stopping": checkpointing.early_stopping_state(
+                                early_stopper
+                            ),
+                            "history": checkpointing.pack_history(history),
+                        },
+                    )
                 epoch += 1
 
+            if ckpt is not None:
+                ckpt.finish()
             new_group = group.replace(nurbs_control_points=control_points)
             new_group = update_surfaces(
                 new_group, self.number_of_surface_points
