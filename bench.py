@@ -357,6 +357,16 @@ def bench_torch_reference() -> float:
     from artist.raytracing import HeliostatRayTracer
     from artist.scenario import Scenario
 
+    # The four-heliostat PAINT scenario contains one heliostat (index 1)
+    # whose calibrated kinematics genuinely has no valid motor solution for
+    # the sun-in-south alignment; the reference warns about it on EVERY
+    # align call (artist/field/kinematics_rigid_body.py:493-500), which
+    # would print 9x into the bench tail. Expected on this data - silence
+    # the reference's logger for the baseline leg.
+    import logging
+
+    logging.getLogger("artist").setLevel(logging.ERROR)
+
     scenario_path = pathlib.Path(
         "/root/reference/tests/data/scenarios/test_scenario_paint_four_heliostats.h5"
     )
