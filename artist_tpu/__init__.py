@@ -17,6 +17,15 @@ docstrings cite the corresponding reference implementation as
 ``reference: artist/<path>:<lines>``.
 """
 
-__version__ = "0.2.0"
+# Version resolution mirrors the reference (reference: artist/__init__.py +
+# tests/test_version.py): prefer the installed distribution's metadata, fall
+# back to the source tree's pinned version when not installed.
+from importlib.metadata import PackageNotFoundError, version as _distribution_version
+
+try:
+    __version__ = _distribution_version("artist-tpu")
+except PackageNotFoundError:
+    __version__ = "0.3.0"
+del PackageNotFoundError, _distribution_version
 
 from artist_tpu.util.logging_utils import set_logger_config, track_runtime  # noqa: F401
