@@ -18,7 +18,9 @@ Measurements:
 - ``large_field``: the same two steps at 10x the field (1,000 heliostats,
   reduced rays/point) - checks the render fits HBM via ray-chunk remat and
   that compacted blocking keeps per-ray cost near-flat in field size
-  (``blocking_flat_cost_ratio`` ~ 1.0).
+  (``blocking_flat_cost_ratio``: 1.0 would be perfectly flat; 0.77
+  measured in the last recorded run - docs/performance.md analyzes the
+  residual droop).
 - ``est_mfu`` / ``est_hbm_util``: XLA cost-analysis FLOPs and bytes of the
   compiled step divided by wall time and the chip's peak - a roofline
   position rather than a hardware-relative ratio. ``roofline_bound`` names
@@ -31,8 +33,18 @@ Measurements:
 
 ``vs_baseline`` compares against the torch reference running the SAME
 physics on this host's CPU (the only hardware the reference supports here),
-measured on a reduced configuration and normalized to rays/s.
+shape-matched per ray (same surface points/facet, rays/point, and bitmap;
+only the field is smaller - 4 heliostats vs 100 - which errs generous to
+the baseline) and normalized to rays/s.
 Set BENCH_SKIP_BASELINE=1 to skip the torch measurement (reports 0.0).
+
+Hardware normalization: every absolute rays/s number is accompanied by
+``*_per_measured_matmul_tflop`` = rays/s divided by the same run's
+``measured_matmul_tflops`` calibration. Absolute throughput through the
+tunneled chip drifts with allocation (r02 -> r03 saw a 24x calibration drop
+with identical code); the normalized figure is the cross-run-comparable
+one. ``tools/update_perf_docs.py`` regenerates the docs tables from a
+bench JSON with the calibration printed alongside.
 """
 
 from __future__ import annotations
@@ -372,13 +384,19 @@ def bench_torch_reference() -> float:
     )
     if not scenario_path.exists():
         return 0.0
-    points = (25, 25)
+    # Shape-match the TPU leg so the per-ray normalization is defensible:
+    # same surface points/facet, same rays/point, same 256x256 bitmap. Only
+    # the field size differs (4 heliostats vs 100 - the torch CPU leg at 100
+    # would take minutes/step), which UNDER-counts the reference's fixed
+    # overheads per ray, i.e. errs generous to the baseline.
+    points = SURFACE_POINTS
     with h5py.File(scenario_path) as f:
         scenario = Scenario.load_scenario_from_hdf5(
             scenario_file=f,
             number_of_surface_points_per_facet=torch.tensor(list(points)),
             device=torch.device("cpu"),
         )
+    scenario.light_sources.light_source_list[0].number_of_rays = NUM_RAYS
     from artist.nurbs import NURBSSurfaces
     from artist.nurbs.utils import create_nurbs_evaluation_grid
 
@@ -490,9 +508,23 @@ def main() -> None:
     # the slope between them cancels the per-call dispatch cost) and report
     # the step's MFU against THAT too.
     measured_peak = _measure_matmul_peak()
+
+    def normalized(rays_per_second_value: float) -> float | None:
+        """Hardware-normalized throughput: rays/s per measured matmul TFLOP/s.
+
+        The absolute rays/s of a tunneled/virtualized chip drifts with the
+        tunnel and chip allocation (r03 measured a 24x drop in
+        measured_matmul_tflops vs r02 with the SAME code); dividing by the
+        same-run calibration makes cross-run comparisons meaningful. Report
+        next to EVERY absolute number."""
+        if measured_peak <= 0:
+            return None
+        return round(rays_per_second_value / (measured_peak / 1e12), 1)
+
     if measured_peak > 0:
         result["measured_matmul_tflops"] = round(measured_peak / 1e12, 1)
         result["mfu_vs_measured_peak"] = round(achieved_flops / measured_peak, 4)
+        result["rays_per_measured_matmul_tflop"] = normalized(rays_per_second)
 
     if RUN_BLOCKING:
         try:
@@ -501,6 +533,10 @@ def main() -> None:
             result["blocking_rays_per_second"] = round(
                 blocking_rays / blocked["step_seconds"], 1
             )
+            if measured_peak > 0:
+                result["blocking_rays_per_measured_matmul_tflop"] = normalized(
+                    result["blocking_rays_per_second"]
+                )
         except Exception as error:  # noqa: BLE001 - report, don't die
             print(f"blocking measurement failed: {error}", file=sys.stderr)
             result["blocking_rays_per_second"] = 0.0
@@ -530,6 +566,10 @@ def main() -> None:
                     else "rays_per_second"
                 )
                 large[key] = round(rays_l / timing["step_seconds"], 1)
+                if measured_peak > 0:
+                    large[key + "_per_measured_matmul_tflop"] = normalized(
+                        large[key]
+                    )
             large["heliostats"] = LARGE_HELIOSTATS
             large["rays_per_point"] = LARGE_RAYS
             if RUN_BLOCKING and result.get("blocking_rays_per_second"):
