@@ -61,6 +61,19 @@ def test_splat_kernel_parity_on_device():
 def test_blocking_kernel_parity_on_device():
     from artist_tpu.raytracing import blocking
 
+    args, kwargs = _blocking_scene()
+    dense = blocking.soft_ray_blocking_mask(*args, **kwargs, method="xla")
+    flat = blocking.soft_ray_blocking_mask(*args, **kwargs, method="pallas")
+    compact = blocking.soft_ray_blocking_mask(
+        *args, **kwargs, method="pallas", max_candidates=16
+    )
+    assert float(jnp.mean(dense)) > 0.05, "scene produced no blocking"
+    np.testing.assert_allclose(np.asarray(flat), np.asarray(dense), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(compact), np.asarray(dense), atol=2e-3)
+
+
+def _blocking_scene():
+    """Shared small scene where blocking is genuinely active."""
     rng = np.random.default_rng(5)
     heliostats, rays, points = 2, 2, 64
     origins = np.zeros((heliostats, points, 4), np.float32)
@@ -104,14 +117,128 @@ def test_blocking_kernel_parity_on_device():
         ray_primitive_indices=jnp.arange(heliostats, dtype=jnp.int32),
     )
     args = (jnp.asarray(origins), jnp.asarray(directions), corners, spans, normals)
-    dense = blocking.soft_ray_blocking_mask(*args, **kwargs, method="xla")
-    flat = blocking.soft_ray_blocking_mask(*args, **kwargs, method="pallas")
-    compact = blocking.soft_ray_blocking_mask(
-        *args, **kwargs, method="pallas", max_candidates=16
+    return args, kwargs
+
+
+def test_blocking_kernel_vjp_on_device():
+    """The pair kernels' hand-derived backward vs XLA autodiff, on-chip.
+
+    The most intricate hand-written VJP in the repo
+    (kernels/blocking_pallas.py) is otherwise only exercised interpreted;
+    this differentiates a blocking-mask loss w.r.t. ray directions AND
+    primitive corners through the flat and candidate-compacted Pallas paths
+    and compares against the XLA path's autodiff gradients.
+    """
+    from artist_tpu.raytracing import blocking
+
+    args, kwargs = _blocking_scene()
+    origins, directions, corners, spans, normals = args
+    # A spatially varying weight makes the per-ray gradients informative.
+    weight = 1.0 + 0.1 * jnp.arange(
+        directions.shape[0] * directions.shape[1] * directions.shape[2],
+        dtype=jnp.float32,
+    ).reshape(directions.shape[:3])
+
+    def loss(directions_, corners_, method, max_candidates=None):
+        spans_ = jnp.stack(
+            [corners_[:, 1] - corners_[:, 0], corners_[:, 3] - corners_[:, 0]],
+            axis=1,
+        )
+        mask = blocking.soft_ray_blocking_mask(
+            origins,
+            directions_,
+            corners_,
+            spans_,
+            normals,
+            **kwargs,
+            method=method,
+            max_candidates=max_candidates,
+        )
+        return jnp.sum(mask * weight)
+
+    grad_fn = jax.jit(
+        jax.grad(loss, argnums=(0, 1)), static_argnames=("method", "max_candidates")
     )
-    assert float(jnp.mean(dense)) > 0.05, "scene produced no blocking"
-    np.testing.assert_allclose(np.asarray(flat), np.asarray(dense), atol=2e-3)
-    np.testing.assert_allclose(np.asarray(compact), np.asarray(dense), atol=2e-3)
+    xla_dir, xla_corners = grad_fn(directions, corners, method="xla")
+    flat_dir, flat_corners = grad_fn(directions, corners, method="pallas")
+    compact_dir, compact_corners = grad_fn(
+        directions, corners, method="pallas", max_candidates=16
+    )
+    assert float(jnp.abs(xla_dir).max()) > 0, "gradient is identically zero"
+    for mine, theirs, name in [
+        (flat_dir, xla_dir, "flat directions"),
+        (flat_corners, xla_corners, "flat corners"),
+        (compact_dir, xla_dir, "compact directions"),
+        (compact_corners, xla_corners, "compact corners"),
+    ]:
+        scale = float(jnp.abs(theirs).max())
+        np.testing.assert_allclose(
+            np.asarray(mine) / scale,
+            np.asarray(theirs) / scale,
+            atol=5e-3,
+            err_msg=f"blocking VJP vs XLA autodiff: {name}",
+        )
+
+
+def test_jitted_optimizer_step_on_device():
+    """One jitted surface-reconstruction train step runs on-chip.
+
+    Exercises the full optimizer step (NURBS -> align -> trace -> crop ->
+    KL + AL constraint + regularizers -> grad -> edge lock -> Adam) with
+    the Pallas kernels non-interpreted.
+    """
+    from artist_tpu.io.calibration import CalibrationData
+    from artist_tpu.optim.surface_reconstructor import SurfaceReconstructor
+    from artist_tpu.scenario.synthetic import (
+        SyntheticCalibrationParser,
+        make_synthetic_scenario,
+    )
+    from artist_tpu.util import constants
+
+    scenario = make_synthetic_scenario(
+        number_of_heliostats=2,
+        number_of_surface_points_per_facet=(8, 8),
+        number_of_rays=4,
+    )
+    reconstructor = SurfaceReconstructor(
+        scenario=scenario,
+        data={
+            constants.data_parser: SyntheticCalibrationParser(
+                samples_per_heliostat=2
+            ),
+            constants.heliostat_data_mapping: [],
+        },
+        optimization_configuration={
+            constants.optimization: {
+                constants.initial_learning_rate: 1e-4,
+                constants.tolerance: 0.0,
+                constants.max_epoch: 2,
+                constants.batch_size: 8,
+                constants.log_step: 1,
+                constants.early_stopping_delta: 1.0,
+                constants.early_stopping_patience: 50,
+                constants.early_stopping_window: 50,
+            },
+            constants.scheduler: {
+                constants.scheduler_type: constants.exponential,
+                constants.gamma: 0.99,
+            },
+            constants.constraints: {
+                constants.rho_flux_integral: 1.0,
+                constants.energy_tolerance: 0.01,
+                constants.weight_smoothness: 0.005,
+                constants.weight_ideal_surface: 0.005,
+            },
+        },
+        number_of_surface_points=(8, 8),
+        bitmap_resolution=(64, 64),
+    )
+    final_loss, results = reconstructor.reconstruct_surfaces("kl_divergence")
+    assert len(results) == 1
+    history = results[0].loss_history["total_loss"]
+    assert len(history) >= 2
+    assert np.isfinite(history).all()
+    del CalibrationData  # imported for the parser's return type only
 
 
 def test_render_parity_on_device():
