@@ -262,6 +262,18 @@ class KinematicsReconstructor:
             rotation_deviations = optax.apply_updates(rotation_deviations, updates)
             return rotation_deviations, opt_state, loss_value, per_heliostat
 
+        @jax.jit
+        def gradient_step(rotation_deviations, group, batch):
+            """One objective evaluation: (loss, NaN-scrubbed grads, per-heliostat).
+
+            The exact gradient the train step feeds Adam - exposed for
+            diagnostics and the oracle gradient-parity gate."""
+            (loss_value, per_heliostat), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(rotation_deviations, group, batch)
+            grads = jnp.nan_to_num(grads, nan=0.0, posinf=0.0, neginf=0.0)
+            return loss_value, grads, per_heliostat
+
         reduction = (
             "median"
             if self.reconstruction_method
@@ -286,7 +298,74 @@ class KinematicsReconstructor:
                 )
             }
 
-        return train_step, validate_step
+        return train_step, validate_step, gradient_step
+
+    # ------------------------------------------------------------------ #
+
+    def single_step_gradients(
+        self, loss_definition: str | None = None
+    ) -> dict[int, dict[str, np.ndarray]]:
+        """One objective gradient per group, without updating anything.
+
+        Evaluates the exact training objective at the current rotation
+        deviations on the train split and returns ``{group_index: {"loss",
+        "gradients"}}``. The flux-driven ("raytracing") method exercises
+        the full align-with-motors -> trace -> per-heliostat-median chain.
+        Diagnostic + oracle gradient-parity gate
+        (tests/optim/test_full_objective_gradient_parity.py).
+        """
+        if loss_definition is None:
+            loss_definition = (
+                "focal_spot"
+                if self.reconstruction_method
+                == constants.kinematics_reconstruction_raytracing
+                else "angle"
+            )
+        parser = self.data[constants.data_parser]
+        mapping = self.data[constants.heliostat_data_mapping]
+        outputs: dict[int, dict[str, np.ndarray]] = {}
+        for group_index, group in enumerate(self.scenario.heliostat_groups):
+            calibration = parser.parse_data_for_reconstruction(
+                heliostat_data_mapping=mapping,
+                heliostat_names=group.names,
+                target_name_to_index=self.scenario.solar_tower.target_name_to_index,
+                power_plant_position=self.scenario.power_plant_position,
+                bitmap_resolution=self.bitmap_resolution,
+            )
+            if calibration.active_heliostats_mask.sum() == 0:
+                continue
+            split = training.train_test_split(
+                active_heliostats_mask=calibration.active_heliostats_mask,
+                flux_measured=calibration.flux_measured,
+                focal_spots_measured=calibration.focal_spots,
+                incident_ray_directions=calibration.incident_ray_directions,
+                motor_positions=calibration.motor_positions,
+                target_area_indices=calibration.target_area_indices,
+            )
+            unique = np.nonzero(calibration.active_heliostats_mask)[0]
+            key_train, _ = jax.random.split(jax.random.PRNGKey(self.seed))
+            train_batch = self._make_batch(
+                group,
+                split.active_heliostats_mask_train,
+                split.incident_ray_directions_train,
+                split.target_area_indices_train,
+                split.flux_measured_train,
+                split.motor_positions_train,
+                split.focal_spots_measured_train,
+                key_train,
+                unique,
+            )
+            _, _, gradient_step = self._build_step_functions(
+                group, loss_definition, optax.adam(learning_rate=1.0)
+            )
+            loss, gradients, _ = gradient_step(
+                group.rotation_deviations, group, train_batch
+            )
+            outputs[group_index] = {
+                "loss": np.asarray(loss),
+                "gradients": np.asarray(gradients),
+            }
+        return outputs
 
     # ------------------------------------------------------------------ #
 
@@ -478,7 +557,7 @@ class KinematicsReconstructor:
             wrapped = optax.GradientTransformationExtraArgs(
                 init=base_optimizer.init, update=scaled_update
             )
-            train_step, validate_step = self._build_step_functions(
+            train_step, validate_step, _ = self._build_step_functions(
                 group, loss_definition, wrapped
             )
 

@@ -415,7 +415,29 @@ class SurfaceReconstructor:
             )
             return jnp.sum(cropped, axis=(1, 2))
 
-        return train_step, validate_step, reference_integrals
+        @jax.jit
+        def gradient_step(
+            control_points: jnp.ndarray,
+            lambda_flux_integral: jnp.ndarray,
+            flux_integrals_reference: jnp.ndarray,
+            original_control_points: jnp.ndarray,
+            batch: dict,
+        ):
+            """One full-objective evaluation: (loss, edge-locked grads, aux).
+
+            The exact gradient the train step feeds Adam (flux loss + AL
+            energy constraint + balanced regularizers, edge lock applied) -
+            exposed for diagnostics and the oracle gradient-parity gate."""
+            (total_loss, aux), grads = jax.value_and_grad(loss_terms, has_aux=True)(
+                control_points,
+                batch,
+                flux_integrals_reference,
+                lambda_flux_integral,
+                original_control_points,
+            )
+            return total_loss, lock_control_points_on_outer_edges(grads), aux
+
+        return train_step, validate_step, reference_integrals, gradient_step
 
     # ------------------------------------------------------------------ #
 
@@ -489,6 +511,101 @@ class SurfaceReconstructor:
             "padded_sample_indices": jnp.asarray(padded),
             "sample_valid": jnp.asarray(valid),
         }
+
+    def single_step_gradients(
+        self,
+        loss_definition: str = "kl_divergence",
+        lambda_flux_integral: dict[int, np.ndarray] | None = None,
+        flux_integrals_reference: dict[int, np.ndarray] | None = None,
+    ) -> dict[int, dict[str, np.ndarray]]:
+        """One full-objective gradient per group, without updating anything.
+
+        Evaluates the exact training objective (flux loss + Augmented-
+        Lagrangian energy constraint + dynamically balanced regularizers,
+        edge-lock applied to the gradient) at the current control points on
+        the train split and returns ``{group_index: {"loss", "gradients",
+        "flux_integrals", "lambda_flux_integral"}}``. Used as a diagnostic
+        and as the single-step gradient-parity gate against the torch
+        oracle (tests/optim/test_full_objective_gradient_parity.py).
+
+        Parameters
+        ----------
+        lambda_flux_integral, flux_integrals_reference : dict | None
+            Optional per-group overrides of the AL multiplier / reference
+            integrals (defaults: zero multiplier, reference = integrals at
+            the current control points, i.e. the epoch-0 state).
+        """
+        parser = self.data[constants.data_parser]
+        mapping = self.data[constants.heliostat_data_mapping]
+        outputs: dict[int, dict[str, np.ndarray]] = {}
+        for group_index, group in enumerate(self.scenario.heliostat_groups):
+            calibration = parser.parse_data_for_reconstruction(
+                heliostat_data_mapping=mapping,
+                heliostat_names=group.names,
+                target_name_to_index=self.scenario.solar_tower.target_name_to_index,
+                power_plant_position=self.scenario.power_plant_position,
+                bitmap_resolution=self.bitmap_resolution,
+            )
+            if calibration.active_heliostats_mask.sum() == 0:
+                continue
+            split = training.train_test_split(
+                active_heliostats_mask=calibration.active_heliostats_mask,
+                flux_measured=calibration.flux_measured,
+                focal_spots_measured=calibration.focal_spots,
+                incident_ray_directions=calibration.incident_ray_directions,
+                motor_positions=calibration.motor_positions,
+                target_area_indices=calibration.target_area_indices,
+            )
+            unique = np.nonzero(calibration.active_heliostats_mask)[0]
+            key_train, _ = jax.random.split(jax.random.PRNGKey(self.seed))
+            train_batch = self._make_batch(
+                group,
+                split.active_heliostats_mask_train,
+                split.incident_ray_directions_train,
+                split.target_area_indices_train,
+                split.flux_measured_train,
+                key_train,
+                self.scenario.light_sources[0],
+                unique,
+            )
+            optimizer = optax.adam(learning_rate=1.0)
+            _, _, reference_integrals, gradient_step = self._build_step_functions(
+                group, loss_definition, optimizer
+            )
+            control_points = group.nurbs_control_points
+            original_control_points = jnp.take(
+                control_points, jnp.asarray(unique, dtype=jnp.int32), axis=0
+            )
+            if flux_integrals_reference is not None and group_index in (
+                flux_integrals_reference
+            ):
+                flux_ref = jnp.asarray(flux_integrals_reference[group_index])
+            else:
+                flux_ref = jax.lax.stop_gradient(
+                    reference_integrals(control_points, train_batch)
+                )
+            if lambda_flux_integral is not None and group_index in (
+                lambda_flux_integral
+            ):
+                lambda_flux = jnp.asarray(
+                    lambda_flux_integral[group_index], jnp.float32
+                )
+            else:
+                lambda_flux = jnp.zeros(unique.shape[0], dtype=jnp.float32)
+            loss, gradients, aux = gradient_step(
+                control_points,
+                lambda_flux,
+                flux_ref,
+                original_control_points,
+                train_batch,
+            )
+            outputs[group_index] = {
+                "loss": np.asarray(loss),
+                "gradients": np.asarray(gradients),
+                "flux_integrals": np.asarray(aux["flux_integrals"]),
+                "lambda_flux_integral": np.asarray(lambda_flux),
+            }
+        return outputs
 
     def reconstruct_surfaces(
         self, loss_definition: str = "kl_divergence"
@@ -591,7 +708,7 @@ class SurfaceReconstructor:
             wrapped = optax.GradientTransformationExtraArgs(
                 init=base_optimizer.init, update=scaled_update
             )
-            train_step, validate_step, reference_integrals = (
+            train_step, validate_step, reference_integrals, _ = (
                 self._build_step_functions(group, loss_definition, wrapped)
             )
 

@@ -1,0 +1,592 @@
+"""Single-step FULL-OBJECTIVE gradient parity vs the torch oracle.
+
+The renderer-level gradient parity (tests/raytracing/test_gradients.py)
+stops at the flux bitmap; these tests differentiate the optimizers' full
+training objectives in both frameworks with injected identical distortions.
+
+What is (and is not) gateable in fp32, established by bisection:
+
+- The whole prediction chain - NURBS evaluation -> rigid-body alignment ->
+  trace -> CoM-following crop - has gradient parity w.r.t. the NURBS
+  control points at cosine >= 0.999 under weighted-SUM losses (raw and
+  cropped), and the Augmented-Lagrangian energy-constraint term (sums of
+  cropped flux) is equally stable. Gated below.
+- The KL loss's POINTWISE gradient through that chain is NOT a valid fp32
+  gate: its backward is dominated by 1/(q + 1e-12) factors at
+  near-zero-flux boundary pixels, so the gradient direction is not even
+  self-consistent - THIS framework's own eager vs jitted full-KL gradient
+  has cosine ~0.14 on identical inputs (the loss agrees to ~1e-3). The
+  same instability exists in the reference (same formula). The KL level is
+  therefore gated on LOSS parity plus the instability being on record,
+  with optimizer-level convergence parity
+  (tests/optim/test_convergence_parity.py) covering the trajectory.
+- The flux-driven kinematics objective (focal-spot loss: smooth CoM
+  distance, per-heliostat median) IS stable and is gated pointwise at
+  cosine >= 0.999.
+
+reference: artist/optim/surface_reconstructor.py:593-747,960-1075 and
+artist/optim/kinematics_reconstructor.py:535-622.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from artist_tpu.io.calibration import PaintCalibrationDataParser
+from artist_tpu.scenario import load_scenario_from_hdf5
+from artist_tpu.util import constants
+
+from tests.optim.test_convergence_parity import (
+    SCENARIO,
+    _heliostat_data_mapping,
+    _InjectedSun,
+)
+
+SURFACE_POINTS = (8, 8)
+BITMAP = (64, 64)
+RHO = 1.0
+ENERGY_TOLERANCE = -0.05  # negative => the AL constraint BINDS at epoch 0
+LAMBDA_FLUX = 0.1
+
+
+def _cosine(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.ravel().astype(np.float64)
+    b = b.ravel().astype(np.float64)
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def _loss_weights():
+    rng = np.random.RandomState(3)
+    return (rng.rand(2, BITMAP[1], BITMAP[0]).astype(np.float32) + 0.5)
+
+
+@pytest.fixture(scope="module")
+def shared_setup(reference_artist, reference_scenario_dir, reference_field_data_dir):
+    """Oracle scenario + split + injected-distortion scenario for ours."""
+    import h5py
+    import torch
+    from artist.io import PaintCalibrationDataParser as OracleParser
+    from artist.optim import training as oracle_training
+    from artist.scenario import Scenario
+
+    with h5py.File(reference_scenario_dir / SCENARIO) as f:
+        oracle_scenario = Scenario.load_scenario_from_hdf5(
+            scenario_file=f,
+            number_of_surface_points_per_facet=torch.tensor(list(SURFACE_POINTS)),
+            device=torch.device("cpu"),
+        )
+    oracle_group = next(
+        g
+        for g in oracle_scenario.heliostat_field.heliostat_groups
+        if "AA39" in g.names
+    )
+    flux, spots, incident, motors, mask, targets = (
+        OracleParser().parse_data_for_reconstruction(
+            heliostat_data_mapping=_heliostat_data_mapping(
+                reference_field_data_dir
+            ),
+            heliostat_group=oracle_group,
+            scenario=oracle_scenario,
+            bitmap_resolution=torch.tensor(list(BITMAP)),
+            device=torch.device("cpu"),
+        )
+    )
+    split = oracle_training.train_test_split(
+        active_heliostats_mask=mask,
+        flux_measured=flux,
+        focal_spots_measured=spots,
+        incident_ray_directions=incident,
+        motor_positions=motors,
+        target_area_indices=targets,
+        device=torch.device("cpu"),
+    )
+
+    scenario = load_scenario_from_hdf5(
+        reference_scenario_dir / SCENARIO,
+        number_of_surface_points_per_facet=SURFACE_POINTS,
+    )
+    number_of_points = SURFACE_POINTS[0] * SURFACE_POINTS[1] * 4
+    number_of_rays = scenario.light_sources[0].number_of_rays
+    by_sample_count = {}
+    for count in (1, 2):
+        du, de = oracle_scenario.light_sources.light_source_list[0].get_distortions(
+            number_of_points=number_of_points,
+            number_of_active_heliostats=count,
+            random_seed=0,
+        )
+        by_sample_count[count] = (du.numpy(), de.numpy())
+    scenario.light_sources[0] = _InjectedSun(by_sample_count, number_of_rays)
+    return oracle_scenario, split, scenario, by_sample_count
+
+
+def _oracle_forward(oracle_scenario, split, reference_scenario_dir):
+    """One _predict_flux-equivalent forward on a FRESH oracle scenario.
+
+    Returns (control-point leaf, cropped flux) with the graph alive.
+    reference: artist/optim/surface_reconstructor.py:476-591.
+    """
+    import h5py
+    import torch
+    from artist.flux import bitmap as oracle_bitmap
+    from artist.nurbs import NURBSSurfaces
+    from artist.nurbs.utils import create_nurbs_evaluation_grid
+    from artist.raytracing import HeliostatRayTracer
+    from artist.scenario import Scenario
+
+    with h5py.File(reference_scenario_dir / SCENARIO) as f:
+        fresh = Scenario.load_scenario_from_hdf5(
+            scenario_file=f,
+            number_of_surface_points_per_facet=torch.tensor(list(SURFACE_POINTS)),
+            device=torch.device("cpu"),
+        )
+    group = next(
+        g for g in fresh.heliostat_field.heliostat_groups if "AA39" in g.names
+    )
+    control_points = group.nurbs_control_points.requires_grad_()
+    group.activate_heliostats(
+        active_heliostats_mask=split.active_heliostats_mask_train,
+        device=torch.device("cpu"),
+    )
+    evaluation_points = create_nurbs_evaluation_grid(
+        number_of_evaluation_points=torch.tensor(list(SURFACE_POINTS)),
+        device=torch.device("cpu"),
+    )[None, None].expand(2, group.active_canting.shape[1], -1, -1)
+    nurbs = NURBSSurfaces(
+        degrees=group.nurbs_degrees,
+        control_points=group.active_nurbs_control_points,
+        device=torch.device("cpu"),
+    )
+    points, normals = nurbs.calculate_surface_points_and_normals(
+        evaluation_points=evaluation_points,
+        canting=group.active_canting,
+        facet_translations=group.active_facet_translations,
+        device=torch.device("cpu"),
+    )
+    group.active_surface_points = points.reshape(2, -1, 4)
+    group.active_surface_normals = normals.reshape(2, -1, 4)
+    group.align_surfaces_with_incident_ray_directions(
+        aim_points=fresh.solar_tower.get_centers_of_target_areas(
+            target_area_indices=split.target_area_indices_train,
+            device=torch.device("cpu"),
+        ),
+        incident_ray_directions=split.incident_ray_directions_train,
+        active_heliostats_mask=split.active_heliostats_mask_train,
+        device=torch.device("cpu"),
+    )
+    tracer = HeliostatRayTracer(
+        scenario=fresh,
+        heliostat_group=group,
+        blocking_active=False,
+        batch_size=30,
+        random_seed=0,
+        bitmap_resolution=torch.tensor(list(BITMAP)),
+    )
+    flux, _, _, _ = tracer.trace_rays(
+        incident_ray_directions=split.incident_ray_directions_train,
+        active_heliostats_mask=split.active_heliostats_mask_train,
+        target_area_indices=split.target_area_indices_train,
+        device=torch.device("cpu"),
+    )
+    cropped = oracle_bitmap.crop_flux_distributions_around_center(
+        flux_distributions=flux,
+        solar_tower=fresh.solar_tower,
+        target_area_indices=split.target_area_indices_train,
+        device=torch.device("cpu"),
+    )
+    return control_points, cropped
+
+
+def _our_cropped_flux(scenario, split, by_sample_count, control_points):
+    """Our functional chain to the cropped flux (train split)."""
+    from artist_tpu.field import heliostat_group as hg
+    from artist_tpu.field.solar_tower import get_centers_of_target_areas
+    from artist_tpu.flux.bitmap import crop_flux_distributions_around_center
+    from artist_tpu.nurbs import (
+        create_nurbs_evaluation_grid,
+        evaluate_nurbs_surfaces,
+    )
+    from artist_tpu.raytracing import RenderConfig, trace_rays
+
+    group_index = next(
+        i for i, g in enumerate(scenario.heliostat_groups) if "AA39" in g.names
+    )
+    group = scenario.heliostat_groups[group_index]
+    mask_train = np.asarray(split.active_heliostats_mask_train)
+    active_indices = hg.active_indices_from_mask(mask_train)
+    incident = jnp.asarray(
+        np.asarray(split.incident_ray_directions_train), jnp.float32
+    )
+    targets = jnp.asarray(
+        np.asarray(split.target_area_indices_train).astype(np.int32)
+    )
+    aim = get_centers_of_target_areas(scenario.solar_tower, targets)
+    du, de = (jnp.asarray(x) for x in by_sample_count[2])
+
+    active = hg.gather_active(
+        group.replace(nurbs_control_points=control_points), active_indices
+    )
+    points, normals = evaluate_nurbs_surfaces(
+        active.nurbs_control_points,
+        group.nurbs_degrees,
+        create_nurbs_evaluation_grid(SURFACE_POINTS),
+        canting=active.canting,
+        facet_translations=active.facet_translations,
+    )
+    active = active.replace(
+        surface_points=points.reshape(2, -1, 4),
+        surface_normals=normals.reshape(2, -1, 4),
+    )
+    aligned_points, aligned_normals, _, _ = (
+        hg.align_surfaces_with_incident_ray_directions(active, aim, incident)
+    )
+    flux, _, _, _ = trace_rays(
+        tower=scenario.solar_tower,
+        aligned_surface_points=aligned_points,
+        aligned_surface_normals=aligned_normals,
+        incident_ray_directions=incident,
+        target_area_indices=targets,
+        distortions_u=du,
+        distortions_e=de,
+        config=RenderConfig(bitmap_resolution=BITMAP),
+    )
+    return crop_flux_distributions_around_center(
+        flux, scenario.solar_tower, targets
+    )
+
+
+@pytest.mark.slow
+def test_surface_chain_gradient_parity(
+    reference_artist, reference_scenario_dir, shared_setup
+):
+    """Weighted-sum loss through the FULL prediction chain (incl. crop):
+    gradient w.r.t. control points matches at cosine >= 0.999."""
+    import torch
+
+    oracle_scenario, split, scenario, by_sample_count = shared_setup
+    weights = _loss_weights()
+
+    oracle_cp, oracle_cropped = _oracle_forward(
+        oracle_scenario, split, reference_scenario_dir
+    )
+    (oracle_cropped * torch.from_numpy(weights)).sum().backward()
+    oracle_grad = oracle_cp.grad.detach().numpy()
+
+    group_index = next(
+        i for i, g in enumerate(scenario.heliostat_groups) if "AA39" in g.names
+    )
+    group = scenario.heliostat_groups[group_index]
+
+    def loss_fn(control_points):
+        cropped = _our_cropped_flux(scenario, split, by_sample_count, control_points)
+        return jnp.sum(cropped * jnp.asarray(weights))
+
+    our_loss, our_grad = jax.value_and_grad(loss_fn)(group.nurbs_control_points)
+    our_grad = np.asarray(our_grad)
+
+    cosine = _cosine(our_grad, oracle_grad)
+    assert cosine >= 0.999, f"chain gradient cosine {cosine}"
+    # Pointwise: all but a handful of boundary-pixel-coupled components
+    # agree to 5e-3 of scale; the fp32 tail (measured 7 of 9600 elements)
+    # stays under 5e-2.
+    scale = np.abs(oracle_grad).max()
+    normalized_diff = np.abs(our_grad - oracle_grad) / scale
+    assert np.percentile(normalized_diff, 99.9) < 5e-3
+    assert normalized_diff.max() < 5e-2
+
+
+@pytest.mark.slow
+def test_surface_energy_constraint_gradient_parity(
+    reference_artist, reference_scenario_dir, shared_setup
+):
+    """The Augmented-Lagrangian flux-integral constraint's gradient matches.
+
+    A negative energy tolerance makes the constraint BIND at the reference
+    integrals (clamp active, multiplier engaged), so its gradient is
+    non-trivial; the constraint is built from SUMS of the cropped flux and
+    is numerically stable. reference:
+    artist/optim/surface_reconstructor.py:593-654.
+    """
+    import torch
+
+    oracle_scenario, split, scenario, by_sample_count = shared_setup
+
+    oracle_cp, oracle_cropped = _oracle_forward(
+        oracle_scenario, split, reference_scenario_dir
+    )
+    with torch.no_grad():
+        flux_ref_t = oracle_cropped.sum(dim=(1, 2)).detach()
+    relative = (oracle_cropped.sum(dim=(1, 2)) - flux_ref_t) / (flux_ref_t + 1e-12)
+    constraint = torch.clamp(-ENERGY_TOLERANCE - relative, min=0.0)
+    per_heliostat = constraint.mean()  # one heliostat, two samples
+    (LAMBDA_FLUX * per_heliostat + 0.5 * RHO * per_heliostat**2).backward()
+    oracle_grad = oracle_cp.grad.detach().numpy()
+
+    group_index = next(
+        i for i, g in enumerate(scenario.heliostat_groups) if "AA39" in g.names
+    )
+    group = scenario.heliostat_groups[group_index]
+    flux_ref = jax.lax.stop_gradient(
+        jnp.sum(
+            _our_cropped_flux(
+                scenario, split, by_sample_count, group.nurbs_control_points
+            ),
+            axis=(1, 2),
+        )
+    )
+
+    def loss_fn(control_points):
+        cropped = _our_cropped_flux(scenario, split, by_sample_count, control_points)
+        relative = (jnp.sum(cropped, axis=(1, 2)) - flux_ref) / (flux_ref + 1e-12)
+        constraint = jnp.clip(-ENERGY_TOLERANCE - relative, 0.0, None)
+        per_heliostat = jnp.mean(constraint)
+        return LAMBDA_FLUX * per_heliostat + 0.5 * RHO * per_heliostat**2
+
+    our_grad = np.asarray(jax.grad(loss_fn)(group.nurbs_control_points))
+
+    cosine = _cosine(our_grad, oracle_grad)
+    assert cosine >= 0.999, f"AL energy-constraint gradient cosine {cosine}"
+    scale = np.abs(oracle_grad).max()
+    np.testing.assert_allclose(our_grad / scale, oracle_grad / scale, atol=5e-3)
+
+
+def test_regularizer_balancing_and_edge_lock_parity(reference_artist):
+    """Balanced regularizers + edge lock: gradients match in closed form.
+
+    Perturbed control points make both regularizers non-zero; the dynamic
+    balancing factors alpha/beta stay in the graph on both sides.
+    reference: artist/optim/surface_reconstructor.py:656-747,1162-1224.
+    """
+    import torch
+    from artist.optim.regularizers import (
+        IdealSurfaceRegularizer,
+        SmoothnessRegularizer,
+    )
+    from artist.optim.surface_reconstructor import SurfaceReconstructor as OracleSR
+
+    from artist_tpu.optim.regularizers import (
+        ideal_surface_regularizer,
+        smoothness_regularizer,
+    )
+    from artist_tpu.optim.surface_reconstructor import (
+        lock_control_points_on_outer_edges,
+    )
+
+    rng = np.random.RandomState(11)
+    original = rng.randn(1, 4, 7, 7, 3).astype(np.float32)
+    perturbed = original + 0.01 * rng.randn(*original.shape).astype(np.float32)
+    flux_loss = 0.37
+    weight_smoothness, weight_ideal = 0.005, 0.007
+    epsilon = 1e-12
+
+    cp_t = torch.from_numpy(perturbed).requires_grad_()
+    orig_t = torch.from_numpy(original)
+    smooth_t = SmoothnessRegularizer(reduction_dimensions=(1,))(
+        current_control_points=cp_t,
+        original_control_points=orig_t,
+        device=torch.device("cpu"),
+    )
+    ideal_t = IdealSurfaceRegularizer(reduction_dimensions=(1,))(
+        current_control_points=cp_t,
+        original_control_points=orig_t,
+        device=torch.device("cpu"),
+    )
+    alpha_t = weight_smoothness * flux_loss / (smooth_t.mean() + epsilon)
+    beta_t = weight_ideal * flux_loss / (ideal_t.mean() + epsilon)
+    (alpha_t * smooth_t + beta_t * ideal_t).mean().backward()
+    oracle_grad = OracleSR.lock_control_points_on_outer_edges(
+        gradients=cp_t.grad, device=torch.device("cpu")
+    ).numpy()
+
+    def loss_fn(cp):
+        smooth = smoothness_regularizer(cp, jnp.asarray(original))
+        ideal = ideal_surface_regularizer(cp, jnp.asarray(original))
+        alpha = weight_smoothness * flux_loss / (jnp.mean(smooth) + epsilon)
+        beta = weight_ideal * flux_loss / (jnp.mean(ideal) + epsilon)
+        return jnp.mean(alpha * smooth + beta * ideal)
+
+    our_grad = np.asarray(
+        lock_control_points_on_outer_edges(
+            jax.grad(loss_fn)(jnp.asarray(perturbed))
+        )
+    )
+    np.testing.assert_allclose(our_grad, oracle_grad, rtol=1e-4, atol=1e-8)
+    assert np.abs(our_grad).max() > 0
+
+
+@pytest.mark.slow
+def test_surface_kl_objective_gradient_parity(
+    reference_artist, reference_scenario_dir, shared_setup
+):
+    """The FULL KL objective's gradient matches the oracle at cosine 0.999.
+
+    Requires bitwise-shared inputs (both sides consume the SAME parsed
+    split): the KL backward's 1/(q+eps) boundary terms amplify input noise,
+    so independently parsed calibration data - agreeing only to ~1e-7 in
+    the incident directions - decorrelates the gradient direction entirely
+    (measured cosine ~0.14 through the same chain) while the loss moves
+    only ~1e-3. That amplification, not a framework difference, is why the
+    optimizer-level suite gates KL trajectories on invariants; at matched
+    inputs the frameworks' full-objective gradients agree.
+    """
+    import torch
+    from artist.optim.loss import KLDivergenceLoss
+
+    from artist_tpu.optim import losses
+
+    oracle_scenario, split, scenario, by_sample_count = shared_setup
+
+    oracle_cp, oracle_cropped = _oracle_forward(
+        oracle_scenario, split, reference_scenario_dir
+    )
+    oracle_per_sample = KLDivergenceLoss()(
+        prediction=oracle_cropped,
+        ground_truth=split.flux_measured_train,
+        target_area_indices=split.target_area_indices_train,
+        reduction_dimensions=(1, 2),
+        device=torch.device("cpu"),
+    )
+    oracle_loss = oracle_per_sample.mean()
+    oracle_loss.backward()
+    oracle_grad = oracle_cp.grad.detach().numpy()
+
+    measured = jnp.asarray(np.asarray(split.flux_measured_train), jnp.float32)
+    group_index = next(
+        i for i, g in enumerate(scenario.heliostat_groups) if "AA39" in g.names
+    )
+    group = scenario.heliostat_groups[group_index]
+
+    def loss_fn(control_points):
+        cropped = _our_cropped_flux(scenario, split, by_sample_count, control_points)
+        return jnp.mean(losses.kl_divergence_loss(cropped, measured))
+
+    our_loss, our_grad = jax.jit(jax.value_and_grad(loss_fn))(
+        group.nurbs_control_points
+    )
+    assert abs(float(our_loss) - float(oracle_loss)) / float(oracle_loss) < 1e-3
+    cosine = _cosine(np.asarray(our_grad), oracle_grad)
+    assert cosine >= 0.999, f"full KL objective gradient cosine {cosine}"
+
+
+@pytest.mark.slow
+def test_kinematics_flux_driven_gradient_parity(
+    reference_artist, reference_scenario_dir, reference_field_data_dir
+):
+    import h5py
+    import torch
+    from artist.io import PaintCalibrationDataParser as OracleParser
+    from artist.optim import KinematicsReconstructor as OracleReconstructor
+    from artist.optim.loss import FocalSpotLoss
+    from artist.scenario import Scenario
+    from artist.util import constants as oracle_constants
+    from artist.util.env import DdpSetup
+
+    with h5py.File(reference_scenario_dir / SCENARIO) as f:
+        oracle_scenario = Scenario.load_scenario_from_hdf5(
+            scenario_file=f,
+            number_of_surface_points_per_facet=torch.tensor(list(SURFACE_POINTS)),
+            device=torch.device("cpu"),
+        )
+    scenario = load_scenario_from_hdf5(
+        reference_scenario_dir / SCENARIO,
+        number_of_surface_points_per_facet=SURFACE_POINTS,
+    )
+    number_of_points = SURFACE_POINTS[0] * SURFACE_POINTS[1] * 4
+    number_of_rays = scenario.light_sources[0].number_of_rays
+    by_sample_count = {}
+    for count in (1, 2):
+        du, de = oracle_scenario.light_sources.light_source_list[0].get_distortions(
+            number_of_points=number_of_points,
+            number_of_active_heliostats=count,
+            random_seed=0,
+        )
+        by_sample_count[count] = (du.numpy(), de.numpy())
+    scenario.light_sources[0] = _InjectedSun(by_sample_count, number_of_rays)
+
+    def config(constants_module):
+        return {
+            constants_module.optimization: {
+                constants_module.initial_learning_rate_rotation_deviation: 1e-4,
+                constants_module.tolerance: 0.0,
+                constants_module.max_epoch: 0,
+                constants_module.batch_size: 30,
+                # log_step must be non-zero with max_epoch=0: the reference
+                # substitutes max_epoch for 0 and takes epoch % log_step.
+                constants_module.log_step: 1,
+                constants_module.early_stopping_delta: 1.0,
+                constants_module.early_stopping_patience: 500,
+                constants_module.early_stopping_window: 500,
+            },
+            constants_module.scheduler: {
+                constants_module.scheduler_type: constants_module.exponential,
+                constants_module.gamma: 1.0,
+            },
+        }
+
+    number_of_groups = len(oracle_scenario.heliostat_field.heliostat_groups)
+    oracle_reconstructor = OracleReconstructor(
+        ddp_setup=DdpSetup(
+            device=torch.device("cpu"),
+            is_distributed=False,
+            is_nested=False,
+            rank=0,
+            world_size=1,
+            process_subgroup=None,
+            groups_to_ranks_mapping={0: list(range(number_of_groups))},
+            heliostat_group_rank=0,
+            heliostat_group_world_size=1,
+            ranks_to_groups_mapping={g: [0] for g in range(number_of_groups)},
+        ),
+        scenario=oracle_scenario,
+        data={
+            oracle_constants.data_parser: OracleParser(),
+            oracle_constants.heliostat_data_mapping: _heliostat_data_mapping(
+                reference_field_data_dir
+            ),
+        },
+        optimization_configuration=config(oracle_constants),
+        reconstruction_method=oracle_constants.kinematics_reconstruction_raytracing,
+        bitmap_resolution=torch.tensor(list(BITMAP)),
+    )
+    oracle_group = next(
+        g
+        for g in oracle_scenario.heliostat_field.heliostat_groups
+        if "AA39" in g.names
+    )
+    oracle_param = oracle_group.kinematics.rotation_deviation_parameters
+    captured: list[np.ndarray] = []
+    oracle_param.requires_grad_().register_hook(
+        lambda grad: captured.append(grad.detach().clone().numpy())
+    )
+    oracle_reconstructor.reconstruct_kinematics(
+        loss_definition=FocalSpotLoss(scenario=oracle_scenario),
+        device=torch.device("cpu"),
+    )
+    assert len(captured) == 1
+
+    from artist_tpu.optim.kinematics_reconstructor import KinematicsReconstructor
+
+    group_index = next(
+        i for i, g in enumerate(scenario.heliostat_groups) if "AA39" in g.names
+    )
+    probe = KinematicsReconstructor(
+        scenario=scenario,
+        data={
+            constants.data_parser: PaintCalibrationDataParser(),
+            constants.heliostat_data_mapping: _heliostat_data_mapping(
+                reference_field_data_dir
+            ),
+        },
+        optimization_configuration=config(constants),
+        reconstruction_method=constants.kinematics_reconstruction_raytracing,
+        bitmap_resolution=BITMAP,
+    )
+    ours = probe.single_step_gradients("focal_spot")[group_index]
+
+    cosine = _cosine(ours["gradients"], captured[0])
+    assert cosine >= 0.999, f"kinematics flux-driven gradient cosine {cosine}"
+    scale = np.abs(captured[0]).max()
+    np.testing.assert_allclose(
+        ours["gradients"] / scale, captured[0] / scale, atol=5e-3
+    )
