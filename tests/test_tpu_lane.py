@@ -144,6 +144,15 @@ def test_blocking_kernel_vjp_on_device():
             [corners_[:, 1] - corners_[:, 0], corners_[:, 3] - corners_[:, 0]],
             axis=1,
         )
+        # The production softness (1000) saturates the sigmoid gates and the
+        # fp32 gradient underflows to zero for every decisively-in/out ray;
+        # a soft setting keeps the VJP everywhere non-trivial so the
+        # comparison is informative. The origin offset scales up with the
+        # softened gate (sigmoid argument -40 at the self-pair distance) so
+        # self-pairs stay suppressed: the dense/flat paths keep whole
+        # primitives (per-primitive cull, self-pairs ride the offset gate)
+        # while the compacted path hard-excludes self from the candidate
+        # list - at a LEAKY offset gate those semantics genuinely diverge.
         mask = blocking.soft_ray_blocking_mask(
             origins,
             directions_,
@@ -151,6 +160,9 @@ def test_blocking_kernel_vjp_on_device():
             spans_,
             normals,
             **kwargs,
+            softness=20.0,
+            alpha=5.0,
+            ray_origin_offset=2.0,
             method=method,
             max_candidates=max_candidates,
         )
