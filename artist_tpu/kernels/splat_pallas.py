@@ -324,6 +324,329 @@ def _splat_bwd(bitmap_resolution, compute_dtype, residuals, g):
 bilinear_splat_pallas.defvjp(_splat_fwd, _splat_bwd)
 
 
+DYN_RAY_BLOCK = int(os.environ.get("ARTIST_SPLAT_DYN_RAY_BLOCK", 1024))
+
+
+def _window_plan(height: int, window: int) -> tuple[tuple[int, int, int], ...]:
+    """Static fallback sub-windows covering [0, height) without double count.
+
+    Each entry is (start, own_lo, own_hi): the sub-window's store offset and
+    the EXCLUSIVE ownership row range its factors are masked to (windows may
+    overlap when ``window`` does not divide ``height``; the ownership mask
+    keeps each global row in exactly one sub-window)."""
+    plan = []
+    k = 0
+    while k * window < height:
+        own_lo = k * window
+        own_hi = min((k + 1) * window, height)
+        start = min(k * window, height - window)
+        plan.append((start, own_lo, own_hi))
+        k += 1
+    return tuple(plan)
+
+
+def _dyn_fwd_kernel(
+    ou_ref,
+    fits_ref,
+    e_ref,
+    u_ref,
+    w_ref,
+    out_ref,
+    *,
+    height: int,
+    width: int,
+    window: int,
+    blocks_per_map: int,
+    compute_dtype,
+):
+    """Dynamic-window forward: one ray block -> [window, W] matmul.
+
+    Per block the row factor spans only ``window`` rows at the block's
+    precomputed 8-aligned offset (EXACT: the offset is derived from the
+    block's own min/max deposit rows, so a fitting block loses nothing);
+    blocks whose deposit extent exceeds the window take the full-height
+    fallback as ``ceil(H/window)`` ownership-masked sub-windows - same
+    semantics, full cost, no double counting."""
+    block = e_ref.shape[0]
+    e, u = e_ref[:], u_ref[:]
+    _, _, _, _, w, _ = _weights(e, u, w_ref[:], height, width)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, width), 1).astype(
+        jnp.float32
+    )
+    c0 = jnp.maximum(0.0, 1.0 - jnp.abs(cols - e[:, None])).astype(compute_dtype)
+    base_rows = jax.lax.broadcasted_iota(jnp.int32, (window, block), 0).astype(
+        jnp.float32
+    )
+
+    def accumulate(offset, extra_mask=None):
+        rows = base_rows + jnp.float32(offset)
+        a0_t = jnp.maximum(0.0, 1.0 - jnp.abs(rows - u[None, :])) * w[None, :]
+        if extra_mask is not None:
+            a0_t = a0_t * extra_mask
+        acc = jax.lax.dot_general(
+            a0_t.astype(compute_dtype),
+            c0,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, pl.ds(offset, window), :] += acc
+
+    @pl.when(pl.program_id(0) % blocks_per_map == 0)
+    def _():
+        out_ref[0] = jnp.zeros((height, width), jnp.float32)
+
+    fits = fits_ref[0]
+    ou = pl.multiple_of(ou_ref[0], 8)
+
+    @pl.when(fits == 1)
+    def _():
+        accumulate(ou)
+
+    @pl.when(fits == 0)
+    def _():
+        for start, own_lo, own_hi in _window_plan(height, window):
+            rows = base_rows + jnp.float32(start)
+            own = ((rows >= own_lo) & (rows < own_hi)).astype(jnp.float32)
+            accumulate(start, extra_mask=own)
+
+
+def _dyn_bwd_kernel(
+    ou_ref,
+    fits_ref,
+    e_ref,
+    u_ref,
+    w_ref,
+    gt_ref,
+    de_ref,
+    du_ref,
+    dw_ref,
+    *,
+    height: int,
+    width: int,
+    window: int,
+    compute_dtype,
+):
+    """Dynamic-window backward: both cotangent matmuls contract over the window.
+
+    The cotangent map stays [H, W] (VMEM-resident per map); the fast branch
+    slices its ``window`` rows at the 8-aligned sublane offset, the fallback
+    sums the static sub-window slices with ownership masks."""
+    block = e_ref.shape[0]
+    e, u = e_ref[:], u_ref[:]
+    lower_e, lower_u, _, _, w, valid = _weights(e, u, w_ref[:], height, width)
+    base_rows = jax.lax.broadcasted_iota(jnp.int32, (window, block), 0)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (width, block), 0)
+    c0_t = jnp.maximum(
+        0.0, 1.0 - jnp.abs(cols.astype(jnp.float32) - e[None, :])
+    ).astype(jnp.float32)
+    cd_t = (
+        (cols == lower_e[None, :] + 1).astype(compute_dtype)
+        - (cols == lower_e[None, :]).astype(compute_dtype)
+    ).astype(jnp.float32)
+
+    def window_products(offset, extra_mask=None):
+        rows = base_rows + offset
+        a0_t = jnp.maximum(
+            0.0, 1.0 - jnp.abs(rows.astype(jnp.float32) - u[None, :])
+        )
+        ad_t = (rows == lower_u[None, :] + 1).astype(jnp.float32) - (
+            rows == lower_u[None, :]
+        ).astype(jnp.float32)
+        if extra_mask is not None:
+            a0_t = a0_t * extra_mask
+            ad_t = ad_t * extra_mask
+        gt_win = gt_ref[0, pl.ds(offset, window), :].astype(compute_dtype)
+        g1 = jax.lax.dot_general(
+            gt_win,
+            a0_t.astype(compute_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [W, B]
+        g2 = jax.lax.dot_general(
+            gt_win,
+            ad_t.astype(compute_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return g1, g2
+
+    def write_outputs(g1, g2):
+        dw_ref[:] = jnp.where(valid, jnp.sum(g1 * c0_t, axis=0), 0.0)
+        de_ref[:] = w * jnp.sum(g1 * cd_t, axis=0)
+        du_ref[:] = w * jnp.sum(g2 * c0_t, axis=0)
+
+    fits = fits_ref[0]
+    ou = pl.multiple_of(ou_ref[0], 8)
+
+    @pl.when(fits == 1)
+    def _():
+        g1, g2 = window_products(ou)
+        write_outputs(g1, g2)
+
+    @pl.when(fits == 0)
+    def _():
+        g1 = jnp.zeros((width, block), jnp.float32)
+        g2 = jnp.zeros((width, block), jnp.float32)
+        for start, own_lo, own_hi in _window_plan(height, window):
+            rows = base_rows + start
+            own = ((rows >= own_lo) & (rows < own_hi)).astype(jnp.float32)
+            p1, p2 = window_products(start, extra_mask=own)
+            g1 = g1 + p1
+            g2 = g2 + p2
+        write_outputs(g1, g2)
+
+
+def _dyn_offsets(
+    u: jnp.ndarray, w: jnp.ndarray, height: int, window: int, block: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-block window offsets and fit flags (stop-gradient, int32).
+
+    ``u``/``w`` are the PADDED [M, Np] coordinate/weight arrays. A block
+    fits when every weighted deposit row lies inside [ou, ou + window):
+    deposit rows are floor(u) and floor(u)+1, so the condition is
+    max_u <= ou + window - 2 with ou = align8(floor(min_u)) clamped into
+    the bitmap. Blocks with no valid rays trivially fit at offset 0."""
+    u = jax.lax.stop_gradient(u)
+    w = jax.lax.stop_gradient(w)
+    num = u.shape[0]
+    blocks = u.shape[1] // block
+    u_blocks = u.reshape(num, blocks, block)
+    valid = w.reshape(num, blocks, block) > 0
+    big = jnp.float32(1e9)
+    min_u = jnp.min(jnp.where(valid, u_blocks, big), axis=2)
+    max_u = jnp.max(jnp.where(valid, u_blocks, -big), axis=2)
+    any_valid = jnp.any(valid, axis=2)
+    raw = jnp.floor(min_u).astype(jnp.int32)
+    ou = jnp.clip((raw // 8) * 8, 0, height - window)
+    fits = (~any_valid) | (max_u <= ou.astype(jnp.float32) + window - 2)
+    ou = jnp.where(any_valid, ou, 0)
+    return ou.reshape(-1), fits.astype(jnp.int32).reshape(-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def bilinear_splat_dynamic_window(
+    bitmap_e: jnp.ndarray,
+    bitmap_u: jnp.ndarray,
+    intensities: jnp.ndarray,
+    bitmap_resolution: tuple[int, int],
+    window: int = 96,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """EXACT bilinear splat with per-ray-block dynamic row windows.
+
+    The full-bitmap splat pays a [H, B] @ [B, W] matmul per ray block no
+    matter how few rows the block's deposits span. Measured at production
+    geometry (100 heliostats, 50x50 points/facet, point-major ray order),
+    per-1024-ray-block row extents are p50 ~60 px of 256 - so this kernel
+    computes each block's deposit-row window up front (stop-gradient
+    min/max, 8-aligned offset) and pays [window, B] @ [B, W]; the ~3-5% of
+    blocks that exceed the window take an ownership-masked full-height
+    fallback INSIDE the kernel. No ray is ever dropped - unlike
+    :func:`bilinear_splat_windowed`, this path is exact for every input,
+    making it safe as a default on TPU.
+
+    Best used with rays ordered point-major over spatially tiled surface
+    points (see artist_tpu.raytracing.splatting.point_tile_order) so
+    consecutive rays share compact deposit spans.
+
+    reference semantics: artist/raytracing/heliostat_ray_tracer.py:610-778.
+    """
+    return _dyn_forward(
+        bitmap_e, bitmap_u, intensities, bitmap_resolution, window, compute_dtype
+    )
+
+
+def _dyn_forward(bitmap_e, bitmap_u, intensities, resolution, window, compute_dtype):
+    width, height = int(resolution[0]), int(resolution[1])
+    if window % 8 or window > height:
+        raise ValueError(f"window ({window}) must be a multiple of 8 and <= height")
+    num = bitmap_e.shape[0]
+    e = _pad_rays(bitmap_e.astype(jnp.float32), -10.0, DYN_RAY_BLOCK)
+    u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0, DYN_RAY_BLOCK)
+    w = _pad_rays(intensities.astype(jnp.float32), 0.0, DYN_RAY_BLOCK)
+    blocks_per_map = e.shape[1] // DYN_RAY_BLOCK
+    ou, fits = _dyn_offsets(u, w, height, window, DYN_RAY_BLOCK)
+
+    kernel = functools.partial(
+        _dyn_fwd_kernel,
+        height=height,
+        width=width,
+        window=window,
+        blocks_per_map=blocks_per_map,
+        compute_dtype=compute_dtype,
+    )
+    ray_spec = pl.BlockSpec(
+        (DYN_RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM
+    )
+    scalar_spec = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(num * blocks_per_map,),
+        in_specs=[scalar_spec, scalar_spec, ray_spec, ray_spec, ray_spec],
+        out_specs=pl.BlockSpec(
+            (1, height, width),
+            lambda i: (i // blocks_per_map, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((num, height, width), jnp.float32),
+        interpret=_interpret(),
+    )(ou, fits, e.reshape(-1), u.reshape(-1), w.reshape(-1))
+
+
+def _dyn_fwd(bitmap_e, bitmap_u, intensities, resolution, window, compute_dtype):
+    out = _dyn_forward(
+        bitmap_e, bitmap_u, intensities, resolution, window, compute_dtype
+    )
+    return out, (bitmap_e, bitmap_u, intensities)
+
+
+def _dyn_bwd(resolution, window, compute_dtype, residuals, g):
+    bitmap_e, bitmap_u, intensities = residuals
+    width, height = int(resolution[0]), int(resolution[1])
+    num, n = bitmap_e.shape
+    e = _pad_rays(bitmap_e.astype(jnp.float32), -10.0, DYN_RAY_BLOCK)
+    u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0, DYN_RAY_BLOCK)
+    w = _pad_rays(intensities.astype(jnp.float32), 0.0, DYN_RAY_BLOCK)
+    blocks_per_map = e.shape[1] // DYN_RAY_BLOCK
+    padded = e.shape[1]
+    ou, fits = _dyn_offsets(u, w, height, window, DYN_RAY_BLOCK)
+
+    kernel = functools.partial(
+        _dyn_bwd_kernel,
+        height=height,
+        width=width,
+        window=window,
+        compute_dtype=compute_dtype,
+    )
+    ray_spec = pl.BlockSpec(
+        (DYN_RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM
+    )
+    scalar_spec = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+    grad_spec = pl.BlockSpec(
+        (1, height, width),
+        lambda i: (i // blocks_per_map, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((num * padded,), jnp.float32)
+    de, du, dw = pl.pallas_call(
+        kernel,
+        grid=(num * blocks_per_map,),
+        in_specs=[scalar_spec, scalar_spec, ray_spec, ray_spec, ray_spec, grad_spec],
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=_interpret(),
+    )(ou, fits, e.reshape(-1), u.reshape(-1), w.reshape(-1), g.astype(jnp.float32))
+    return (
+        de.reshape(num, padded)[:, :n],
+        du.reshape(num, padded)[:, :n],
+        dw.reshape(num, padded)[:, :n],
+    )
+
+
+bilinear_splat_dynamic_window.defvjp(_dyn_fwd, _dyn_bwd)
+
+
 def bilinear_splat_windowed(
     bitmap_e: jnp.ndarray,
     bitmap_u: jnp.ndarray,

@@ -15,6 +15,32 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def point_tile_order(
+    points_u: int, points_v: int, facets: int, tile: int = 10
+) -> tuple[int, ...]:
+    """Static permutation ordering surface points by spatial tiles.
+
+    Points are laid out row-major per facet; grouping them into
+    ``tile x tile`` patches makes CONSECUTIVE points spatially compact, so
+    point-major ray blocks have compact bitmap deposit spans - the layout
+    the dynamic-window splat kernel wants (measured: per-1024-ray-block row
+    extents drop from p50 ~66 px to ~59 px and the 96-px-window fit
+    fraction reaches ~97% at production geometry).
+    """
+    order = []
+    grid = np.arange(points_u * points_v).reshape(points_u, points_v)
+    for facet in range(facets):
+        for i in range(0, points_u, tile):
+            for j in range(0, points_v, tile):
+                order.append(
+                    (facet * points_u * points_v + grid[i : i + tile, j : j + tile])
+                    .ravel()
+                )
+    return tuple(np.concatenate(order).tolist())
 
 
 def bilinear_splat(
@@ -25,6 +51,7 @@ def bilinear_splat(
     flip_up_down: bool = True,
     method: str = "scatter",
     window: int | None = None,
+    block_window: int | None = None,
 ) -> jnp.ndarray:
     """Splat ray intensities onto per-heliostat bitmaps.
 
@@ -54,6 +81,12 @@ def bilinear_splat(
         instead of the full bitmap - cuts the per-ray cost by
         ``(H W)/window^2``. Exact while every spot fits its window; see
         :func:`artist_tpu.kernels.splat_pallas.windowed_drop_fraction`.
+    block_window : int | None
+        Pallas methods only: EXACT per-ray-block dynamic row windows - each
+        ray block's matmul spans ``block_window`` rows at the block's own
+        deposit offset, with a full-height in-kernel fallback for blocks
+        that exceed it (:func:`...splat_pallas.bilinear_splat_dynamic_window`).
+        Best combined with point-tile-ordered, point-major ray layouts.
 
     Returns
     -------
@@ -79,12 +112,17 @@ def bilinear_splat(
         )
     if method in ("pallas", "pallas_fp32"):
         from artist_tpu.kernels.splat_pallas import (
+            bilinear_splat_dynamic_window,
             bilinear_splat_pallas,
             bilinear_splat_windowed,
         )
 
         compute_dtype = jnp.float32 if method == "pallas_fp32" else jnp.bfloat16
-        if window is not None:
+        if block_window is not None:
+            bitmaps = bilinear_splat_dynamic_window(
+                e, u, w, (width, height), int(block_window), compute_dtype
+            )
+        elif window is not None:
             bitmaps = bilinear_splat_windowed(
                 e, u, w, (width, height), window, compute_dtype
             )

@@ -84,6 +84,9 @@ LARGE_RAYS = int(os.environ.get("BENCH_LARGE_RAYS", 4))
 # Optional per-heliostat splat window (compact-spot workloads; see
 # artist_tpu/kernels/splat_pallas.py). 0 = full-bitmap splat.
 SPLAT_WINDOW = int(os.environ.get("BENCH_SPLAT_WINDOW", 0))
+# Exact per-ray-block dynamic row window (0 = off); see
+# kernels/splat_pallas.py:bilinear_splat_dynamic_window.
+SPLAT_BLOCK_WINDOW = int(os.environ.get("BENCH_SPLAT_BLOCK_WINDOW", 0))
 
 # Peak per-chip numbers for the roofline estimate: (bf16 FLOP/s, HBM B/s).
 # Public figures: v5e 197 TF / 819 GB/s, v4 275 TF / 1228 GB/s,
@@ -255,6 +258,12 @@ def _build_step(
         primitive_chunk=PRIMITIVE_CHUNK if blocking else None,
         blocking_candidates=BLOCKING_CANDIDATES or None,
         splat_window=SPLAT_WINDOW or None,
+        splat_block_window=SPLAT_BLOCK_WINDOW or None,
+        splat_point_layout=(
+            (SURFACE_POINTS[0], SURFACE_POINTS[1], 4)
+            if SPLAT_BLOCK_WINDOW
+            else None
+        ),
     )
 
     if mesh is not None:
