@@ -1022,6 +1022,39 @@ class AimPointOptimizer:
         loss_value = np.inf
         aux = None
         epoch = 0
+
+        # Per-rank checkpoints: each rank's params cover only its round-robin
+        # groups, so a resume needs the SAME world size and group mapping.
+        ckpt = None
+        if self.checkpoint_dir is not None:
+            ckpt = checkpointing.LoopCheckpointer(
+                self.checkpoint_dir,
+                f"aim_point_rank{setup.rank}",
+                every=self.checkpoint_every,
+            )
+            restored = ckpt.restore_latest()
+            if restored is not None:
+                epoch = int(restored["epoch"]) + 1
+                params = checkpointing.unpack_pytree(params, restored["params"])
+                opt_state = checkpointing.unpack_pytree(
+                    opt_state, restored["opt_state"]
+                )
+                lambdas = checkpointing.unpack_pytree(lambdas, restored["lambdas"])
+                references = checkpointing.unpack_pytree(
+                    references, restored["references"]
+                )
+                loss_value = float(restored["last_loss"])
+                checkpointing.restore_scheduler(scheduler, restored["scheduler"])
+                checkpointing.restore_early_stopping(
+                    early_stopper, restored["early_stopping"]
+                )
+                checkpointing.restore_history(history, restored["history"])
+                log.info(
+                    "Rank %d resuming aim-point optimization at epoch %d.",
+                    setup.rank,
+                    epoch,
+                )
+
         while loss_value > tolerance and epoch <= max_epoch:
             if isinstance(scheduler, training.ReduceOnPlateau):
                 learning_rate = scheduler.learning_rate
@@ -1079,8 +1112,32 @@ class AimPointOptimizer:
             if early_stopper.step(loss_value):
                 log.info("Early stopping at epoch %d.", epoch)
                 break
+            if ckpt is not None and ckpt.should_save(epoch):
+                ckpt.save(
+                    epoch,
+                    {
+                        "params": checkpointing.pack_pytree(
+                            jax.tree.map(fetch_global, params)
+                        ),
+                        "opt_state": checkpointing.pack_pytree(
+                            jax.tree.map(fetch_global, opt_state)
+                        ),
+                        "lambdas": checkpointing.pack_pytree(lambdas),
+                        "references": checkpointing.pack_pytree(
+                            jax.tree.map(fetch_global, references)
+                        ),
+                        "last_loss": np.float64(loss_value),
+                        "scheduler": checkpointing.scheduler_state(scheduler),
+                        "early_stopping": checkpointing.early_stopping_state(
+                            early_stopper
+                        ),
+                        "history": checkpointing.pack_history(history),
+                    },
+                )
             epoch += 1
 
+        if ckpt is not None:
+            ckpt.finish()
         # Final synchronization: every rank applies every group's optimized
         # motor positions (the reference's final broadcast,
         # aim_point_optimizer.py:704-722). ``full_factors`` stays at the last
