@@ -395,8 +395,9 @@ def _dyn_fwd_kernel(
     def _():
         out_ref[0] = jnp.zeros((height, width), jnp.float32)
 
-    fits = fits_ref[0]
-    ou = pl.multiple_of(ou_ref[0], 8)
+    i = pl.program_id(0)
+    fits = fits_ref[i]
+    ou = pl.multiple_of(ou_ref[i], 8)
 
     @pl.when(fits == 1)
     def _():
@@ -476,8 +477,9 @@ def _dyn_bwd_kernel(
         de_ref[:] = w * jnp.sum(g1 * cd_t, axis=0)
         du_ref[:] = w * jnp.sum(g2 * c0_t, axis=0)
 
-    fits = fits_ref[0]
-    ou = pl.multiple_of(ou_ref[0], 8)
+    i = pl.program_id(0)
+    fits = fits_ref[i]
+    ou = pl.multiple_of(ou_ref[i], 8)
 
     @pl.when(fits == 1)
     def _():
@@ -577,18 +579,21 @@ def _dyn_forward(bitmap_e, bitmap_u, intensities, resolution, window, compute_dt
         compute_dtype=compute_dtype,
     )
     ray_spec = pl.BlockSpec(
-        (DYN_RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM
+        (DYN_RAY_BLOCK,), lambda i, *_: (i,), memory_space=pltpu.VMEM
     )
-    scalar_spec = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(num * blocks_per_map,),
-        in_specs=[scalar_spec, scalar_spec, ray_spec, ray_spec, ray_spec],
+        in_specs=[ray_spec, ray_spec, ray_spec],
         out_specs=pl.BlockSpec(
             (1, height, width),
-            lambda i: (i // blocks_per_map, 0, 0),
+            lambda i, *_: (i // blocks_per_map, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num, height, width), jnp.float32),
         interpret=_interpret(),
     )(ou, fits, e.reshape(-1), u.reshape(-1), w.reshape(-1))
@@ -620,20 +625,23 @@ def _dyn_bwd(resolution, window, compute_dtype, residuals, g):
         compute_dtype=compute_dtype,
     )
     ray_spec = pl.BlockSpec(
-        (DYN_RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM
+        (DYN_RAY_BLOCK,), lambda i, *_: (i,), memory_space=pltpu.VMEM
     )
-    scalar_spec = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
     grad_spec = pl.BlockSpec(
         (1, height, width),
-        lambda i: (i // blocks_per_map, 0, 0),
+        lambda i, *_: (i // blocks_per_map, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct((num * padded,), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num * blocks_per_map,),
+        in_specs=[ray_spec, ray_spec, ray_spec, grad_spec],
+        out_specs=(ray_spec, ray_spec, ray_spec),
+    )
     de, du, dw = pl.pallas_call(
         kernel,
-        grid=(num * blocks_per_map,),
-        in_specs=[scalar_spec, scalar_spec, ray_spec, ray_spec, ray_spec, grad_spec],
-        out_specs=(ray_spec, ray_spec, ray_spec),
+        grid_spec=grid_spec,
         out_shape=(out_shape, out_shape, out_shape),
         interpret=_interpret(),
     )(ou, fits, e.reshape(-1), u.reshape(-1), w.reshape(-1), g.astype(jnp.float32))

@@ -56,6 +56,13 @@ def test_splat_kernel_parity_on_device():
     np.testing.assert_allclose(
         np.asarray(windowed), np.asarray(pallas), atol=1e-6
     )
+    # Dynamic per-block windows are EXACT (fallback blocks included).
+    dynamic = bilinear_splat(
+        e, u, w, resolution, method="pallas_fp32", block_window=32
+    )
+    np.testing.assert_allclose(
+        np.asarray(dynamic), np.asarray(expected), atol=1e-5
+    )
 
 
 def test_blocking_kernel_parity_on_device():
