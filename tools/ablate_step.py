@@ -33,7 +33,14 @@ incident = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0, 0.0], jnp.float32), (num
 aim_points = get_centers_of_target_areas(tower, target_indices)
 du, de = scenario.light_sources[0].get_distortions(jax.random.PRNGKey(7), num_points, num)
 gt = jnp.ones((num, 256, 256), jnp.float32)
-config = RenderConfig(bitmap_resolution=(256, 256), ray_chunk=4)
+# ABLATE_BLOCK_WINDOW=96 measures the dynamic-window splat formulation.
+_BLOCK_WINDOW = int(os.environ.get("ABLATE_BLOCK_WINDOW", 0))
+config = RenderConfig(
+    bitmap_resolution=(256, 256),
+    ray_chunk=4,
+    splat_block_window=_BLOCK_WINDOW or None,
+    splat_point_layout=(50, 50, 4) if _BLOCK_WINDOW else None,
+)
 RAYS = num * du.shape[1] * num_points
 
 
