@@ -62,17 +62,31 @@ class CheckpointManager:
         Checkpoint root (created if missing).
     max_to_keep : int
         Retained checkpoint count.
+    per_process : bool
+        Save from THIS process alone (``primary_host=None``). Required for
+        per-rank checkpoints in multi-process runs: orbax's manager is
+        otherwise a collective API (host 0 commits behind cross-process
+        barriers), so per-rank managers on per-rank directories would
+        deadlock or never commit non-zero ranks' state.
     """
 
     def __init__(
-        self, directory: pathlib.Path | str, max_to_keep: int = 3
+        self,
+        directory: pathlib.Path | str,
+        max_to_keep: int = 3,
+        per_process: bool = False,
     ) -> None:
         self.directory = pathlib.Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
-        self._manager = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
-        )
+        options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
+        if per_process and jax.process_count() > 1:
+            options = ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=None
+                ),
+            )
+        self._manager = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: dict[str, Any], force: bool = False) -> bool:
         """Save a pytree of arrays under the given step number."""

@@ -62,6 +62,20 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _dot_precision(compute_dtype):
+    """MXU precision matching the requested compute dtype.
+
+    On the real chip fp32 ``dot_general`` operands are TRUNCATED to bf16 at
+    the default precision (one MXU pass) - interpret mode on CPU keeps true
+    fp32, so without HIGHEST the "fp32" path silently returns bf16-accurate
+    results on hardware only (caught by the on-chip lane, round 5). bf16
+    operands are single-pass either way, so DEFAULT is kept there.
+    """
+    if compute_dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
 def _weights(e, u, w, height: int, width: int):
     """Shared: integer cells, fractional offsets, validity-masked weight."""
     lower_e = jnp.floor(e)
@@ -126,6 +140,7 @@ def _splat_fwd_kernel(
         c0,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_dot_precision(compute_dtype),
     )  # [H, W]
 
     @pl.when(pl.program_id(0) % blocks_per_map == 0)
@@ -187,10 +202,18 @@ def _splat_bwd_kernel(
     gt = gt_ref[0].astype(compute_dtype)  # [W, H]
     # g1_t[c, b] = sum_r gt[c, r] a0_t[r, b]; g2_t likewise.
     g1_t = jax.lax.dot_general(
-        gt, a0_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        gt,
+        a0_t,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(compute_dtype),
     )
     g2_t = jax.lax.dot_general(
-        gt, ad_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        gt,
+        ad_t,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(compute_dtype),
     )
     # Invalid rays deposited nothing in the forward pass: their one-hot
     # factors must not leak gradient into dw.
@@ -388,6 +411,7 @@ def _dyn_fwd_kernel(
             c0,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(compute_dtype),
         )
         out_ref[0, pl.ds(offset, window), :] += acc
 
@@ -463,12 +487,14 @@ def _dyn_bwd_kernel(
             a0_t.astype(compute_dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(compute_dtype),
         )  # [W, B]
         g2 = jax.lax.dot_general(
             gt_win,
             ad_t.astype(compute_dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(compute_dtype),
         )
         return g1, g2
 
@@ -500,21 +526,37 @@ def _dyn_bwd_kernel(
 
 
 def _dyn_offsets(
-    u: jnp.ndarray, w: jnp.ndarray, height: int, window: int, block: int
+    e: jnp.ndarray,
+    u: jnp.ndarray,
+    height: int,
+    width: int,
+    window: int,
+    block: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-block window offsets and fit flags (stop-gradient, int32).
 
-    ``u``/``w`` are the PADDED [M, Np] coordinate/weight arrays. A block
-    fits when every weighted deposit row lies inside [ou, ou + window):
-    deposit rows are floor(u) and floor(u)+1, so the condition is
-    max_u <= ou + window - 2 with ou = align8(floor(min_u)) clamped into
-    the bitmap. Blocks with no valid rays trivially fit at offset 0."""
+    ``e``/``u`` are the PADDED [M, Np] coordinate arrays. A block fits when
+    every IN-BOUNDS deposit row lies inside [ou, ou + window): deposit rows
+    are floor(u) and floor(u)+1, so the condition is max_u <= ou + window - 2
+    with ou = align8(floor(min_u)) clamped into the bitmap. Validity is the
+    kernel's in-bounds check (NOT ``w > 0``): the intensity gradient dw of a
+    zero-weight in-bounds ray is weight-independent, so such rays must still
+    land inside the window or dw silently drops (advisor finding, round 4).
+    Padding carries the -10 sentinel and fails the bounds check. Blocks with
+    no valid rays trivially fit at offset 0."""
+    e = jax.lax.stop_gradient(e)
     u = jax.lax.stop_gradient(u)
-    w = jax.lax.stop_gradient(w)
     num = u.shape[0]
     blocks = u.shape[1] // block
     u_blocks = u.reshape(num, blocks, block)
-    valid = w.reshape(num, blocks, block) > 0
+    lower_e = jnp.floor(e).reshape(num, blocks, block)
+    lower_u = jnp.floor(u_blocks)
+    valid = (
+        (lower_e >= 0)
+        & (lower_e <= width - 2)
+        & (lower_u >= 0)
+        & (lower_u <= height - 2)
+    )
     big = jnp.float32(1e9)
     min_u = jnp.min(jnp.where(valid, u_blocks, big), axis=2)
     max_u = jnp.max(jnp.where(valid, u_blocks, -big), axis=2)
@@ -568,7 +610,7 @@ def _dyn_forward(bitmap_e, bitmap_u, intensities, resolution, window, compute_dt
     u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0, DYN_RAY_BLOCK)
     w = _pad_rays(intensities.astype(jnp.float32), 0.0, DYN_RAY_BLOCK)
     blocks_per_map = e.shape[1] // DYN_RAY_BLOCK
-    ou, fits = _dyn_offsets(u, w, height, window, DYN_RAY_BLOCK)
+    ou, fits = _dyn_offsets(e, u, height, width, window, DYN_RAY_BLOCK)
 
     kernel = functools.partial(
         _dyn_fwd_kernel,
@@ -615,7 +657,7 @@ def _dyn_bwd(resolution, window, compute_dtype, residuals, g):
     w = _pad_rays(intensities.astype(jnp.float32), 0.0, DYN_RAY_BLOCK)
     blocks_per_map = e.shape[1] // DYN_RAY_BLOCK
     padded = e.shape[1]
-    ou, fits = _dyn_offsets(u, w, height, window, DYN_RAY_BLOCK)
+    ou, fits = _dyn_offsets(e, u, height, width, window, DYN_RAY_BLOCK)
 
     kernel = functools.partial(
         _dyn_bwd_kernel,

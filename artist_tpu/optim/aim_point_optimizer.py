@@ -1031,6 +1031,9 @@ class AimPointOptimizer:
                 self.checkpoint_dir,
                 f"aim_point_rank{setup.rank}",
                 every=self.checkpoint_every,
+                # Per-rank state on per-rank directories: orbax must save
+                # locally, not behind its collective primary-host barriers.
+                per_process=True,
             )
             restored = ckpt.restore_latest()
             if restored is not None:

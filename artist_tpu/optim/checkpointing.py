@@ -48,10 +48,19 @@ def unpack_pytree(template: Any, packed: dict[str, Any]) -> Any:
             f"{len(template_leaves)} - the optimizer configuration changed "
             f"since the checkpoint was written."
         )
-    leaves = [
-        jnp.asarray(packed[key]).astype(jnp.asarray(template_leaf).dtype)
-        for key, template_leaf in zip(sorted(packed), template_leaves)
-    ]
+    # Numeric sort: beyond 9999 leaves the '%04d' keys grow a digit and
+    # lexicographic order would silently permute leaves ('10000' < '2000').
+    leaves = []
+    for key, template_leaf in zip(sorted(packed, key=int), template_leaves):
+        template_leaf = jnp.asarray(template_leaf)
+        leaf = jnp.asarray(packed[key]).astype(template_leaf.dtype)
+        if leaf.shape != template_leaf.shape:
+            raise ValueError(
+                f"Checkpoint leaf {key} has shape {leaf.shape} but the "
+                f"template expects {template_leaf.shape} - the optimizer "
+                f"configuration changed since the checkpoint was written."
+            )
+        leaves.append(leaf)
     return jax.tree.unflatten(treedef, leaves)
 
 
@@ -126,6 +135,9 @@ class LoopCheckpointer:
         Save every ``every`` epochs (0 disables periodic saves).
     max_to_keep : int
         Retained checkpoints per loop.
+    per_process : bool
+        Local (non-collective) orbax saving - required for per-rank state in
+        multi-process runs (see :class:`artist_tpu.io.checkpoint.CheckpointManager`).
     """
 
     def __init__(
@@ -134,10 +146,13 @@ class LoopCheckpointer:
         label: str,
         every: int = 25,
         max_to_keep: int = 3,
+        per_process: bool = False,
     ) -> None:
         self.every = int(every)
         self._manager = CheckpointManager(
-            pathlib.Path(directory) / label, max_to_keep=max_to_keep
+            pathlib.Path(directory) / label,
+            max_to_keep=max_to_keep,
+            per_process=per_process,
         )
 
     def restore_latest(self) -> dict[str, Any] | None:

@@ -89,6 +89,38 @@ def test_dynamic_window_gradients_exact(mixed_rays):
         )
 
 
+def test_dynamic_window_zero_weight_ray_gradient():
+    """dw is weight-independent: a zero-weight in-bounds ray far from its
+    block's window must still receive the exact intensity gradient (advisor
+    finding, round 4: extents computed over ``w > 0`` silently zeroed dw for
+    w == 0 rays outside the window)."""
+    num, n = 1, 256
+    rng = np.random.RandomState(7)
+    u = (30 + 8 * rng.rand(num, n)).astype(np.float32)
+    e = (100 + 20 * rng.rand(num, n)).astype(np.float32)
+    w = rng.rand(num, n).astype(np.float32)
+    # One ray at u=200 (far outside the [24, 120) window of the rest) with
+    # EXACTLY zero weight - its dw must match the scatter reference (1-ish),
+    # not 0. Saturated blocking gates and cosine clamps produce such rays.
+    u[0, 13] = 200.3
+    e[0, 13] = 50.2
+    w[0, 13] = 0.0
+
+    def loss(kwargs, e_, u_, w_):
+        out = bilinear_splat(e_, u_, w_, RESOLUTION, flip_up_down=False, **kwargs)
+        return jnp.sum(out)
+
+    args = (jnp.asarray(e), jnp.asarray(u), jnp.asarray(w))
+    ref_dw = jax.grad(loss, argnums=3)(dict(method="scatter"), *args)
+    dyn_dw = jax.grad(loss, argnums=3)(
+        dict(method="pallas_fp32", block_window=96), *args
+    )
+    assert float(ref_dw[0, 13]) > 0.5, "test ray must carry real dw"
+    np.testing.assert_allclose(
+        np.asarray(dyn_dw), np.asarray(ref_dw), atol=1e-6
+    )
+
+
 def test_point_tile_order_is_permutation():
     order = np.asarray(point_tile_order(50, 50, 4, 10))
     assert order.shape == (10000,)
