@@ -17,10 +17,24 @@ Measurements:
   O(rays x field) flat kernels).
 - ``large_field``: the same two steps at 10x the field (1,000 heliostats,
   reduced rays/point) - checks the render fits HBM via ray-chunk remat and
-  that compacted blocking keeps per-ray cost near-flat in field size
-  (``blocking_flat_cost_ratio``: 1.0 would be perfectly flat; 0.77
-  measured in the last recorded run - docs/performance.md analyzes the
-  residual droop).
+  that compacted blocking keeps per-ray cost near-flat in field size.
+  ``blocking_flat_cost_ratio`` divides the large entry by a SHAPE-MATCHED
+  control (the flagship field size at the large entry's rays/point), so it
+  isolates field size; 1.0 is perfectly flat. Round 4's ratio divided by
+  the 32-rays/point flagship instead and its 0.687 "droop" was entirely
+  the rays/point change (docs/performance.md, "Blocking cost vs field
+  size" has the measured decomposition).
+- ``xl_field``: 4,000 heliostats (Juelich-class plant) with a
+  ``blocking_candidates`` K sweep {8, 16, 32} - the LBVH/corridor cull's
+  reason to exist. ``BENCH_XL=0`` skips it.
+- ``surface_reconstruction_epochs_per_hour``: optimizer-level throughput
+  at the reference's production configuration (300 epochs, batch 48, 180
+  rays/point, 50x50 points/facet - reference:
+  examples/field_optimizations/config.yaml:22-40), measured as the slope
+  between a 2-epoch and a 6-epoch run so compile/setup cancels. Makes
+  optimizer-loop regressions (checkpoint overhead, host-device sync)
+  visible where the render-step entries cannot. ``BENCH_OPTIMIZER=0``
+  skips it.
 - ``est_mfu`` / ``est_hbm_util``: XLA cost-analysis FLOPs and bytes of the
   compiled step divided by wall time and the chip's peak - a roofline
   position rather than a hardware-relative ratio. ``roofline_bound`` names
@@ -81,6 +95,16 @@ BLOCKING_CANDIDATES = int(os.environ.get("BENCH_BLOCKING_CANDIDATES", 16))
 RUN_LARGE = os.environ.get("BENCH_LARGE", "1") != "0"
 LARGE_HELIOSTATS = int(os.environ.get("BENCH_LARGE_HELIOSTATS", 1000))
 LARGE_RAYS = int(os.environ.get("BENCH_LARGE_RAYS", 4))
+# Plant-scale entry (Juelich-class field) with a blocking-K sweep.
+RUN_XL = os.environ.get("BENCH_XL", "1") != "0"
+XL_HELIOSTATS = int(os.environ.get("BENCH_XL_HELIOSTATS", 4000))
+XL_CANDIDATE_SWEEP = tuple(
+    int(k)
+    for k in os.environ.get("BENCH_XL_CANDIDATES", "8,16,32").split(",")
+    if k.strip()
+)
+# Optimizer-level entry: surface reconstruction at the production config.
+RUN_OPTIMIZER = os.environ.get("BENCH_OPTIMIZER", "1") != "0"
 # Optional per-heliostat splat window (compact-spot workloads; see
 # artist_tpu/kernels/splat_pallas.py). 0 = full-bitmap splat.
 SPLAT_WINDOW = int(os.environ.get("BENCH_SPLAT_WINDOW", 0))
@@ -219,6 +243,7 @@ def _build_step(
     heliostats: int = NUM_HELIOSTATS,
     rays: int = NUM_RAYS,
     ray_chunk: int = RAY_CHUNK,
+    candidates: int | None = None,
 ):
     """The flagship differentiable step; returns (jitted step, args, rays)."""
     from artist_tpu.field import heliostat_group as hg
@@ -256,7 +281,10 @@ def _build_step(
         ray_chunk=ray_chunk if ray_chunk < rays else None,
         blocking_active=blocking,
         primitive_chunk=PRIMITIVE_CHUNK if blocking else None,
-        blocking_candidates=BLOCKING_CANDIDATES or None,
+        blocking_candidates=(
+            candidates if candidates is not None else BLOCKING_CANDIDATES
+        )
+        or None,
         splat_window=SPLAT_WINDOW or None,
         splat_block_window=SPLAT_BLOCK_WINDOW or None,
         splat_point_layout=(
@@ -481,6 +509,99 @@ def bench_torch_reference() -> float:
     return float(np.mean(rays_per_second)) if rays_per_second else 0.0
 
 
+def _bench_surface_reconstruction() -> dict:
+    """Epochs/hour of the surface reconstructor at the production config.
+
+    Shapes follow the reference's field campaign (reference:
+    examples/field_optimizations/config.yaml:22-40): 50x50 surface
+    points/facet, 180 rays/point, batch 48 calibration samples (12
+    heliostats x the reference's sample_limit 4 - exactly one full batch
+    per epoch), cyclic LR, energy constraint + ideal-surface regularizer.
+    Timed as the SLOPE between a 2-epoch and a 6-epoch run in the same
+    process: jit-compile, data setup, and the final host fetch cancel,
+    leaving the marginal per-epoch cost (which is what a 300-epoch
+    production run pays 300x)."""
+    from artist_tpu.optim.surface_reconstructor import SurfaceReconstructor
+    from artist_tpu.scenario.synthetic import (
+        SyntheticCalibrationParser,
+        make_synthetic_scenario,
+    )
+    from artist_tpu.util import constants
+
+    heliostats = int(os.environ.get("BENCH_OPT_HELIOSTATS", 12))
+    samples_each = 4
+    batch = heliostats * samples_each
+    rays = int(os.environ.get("BENCH_OPT_RAYS", 180))
+    points = int(os.environ.get("BENCH_OPT_SURFACE_POINTS", 50))
+
+    def run(max_epoch: int) -> float:
+        scenario = make_synthetic_scenario(
+            number_of_heliostats=heliostats,
+            number_of_surface_points_per_facet=(points, points),
+            number_of_rays=rays,
+            number_of_control_points_per_facet=(6, 6),
+        )
+        reconstructor = SurfaceReconstructor(
+            scenario=scenario,
+            data={
+                constants.data_parser: SyntheticCalibrationParser(
+                    samples_per_heliostat=samples_each
+                ),
+                constants.heliostat_data_mapping: [],
+            },
+            optimization_configuration={
+                constants.optimization: {
+                    constants.initial_learning_rate: 1e-5,
+                    constants.tolerance: 0.0,
+                    constants.max_epoch: max_epoch,
+                    constants.batch_size: batch,
+                    constants.log_step: 0,
+                    constants.early_stopping_delta: 1e-9,
+                    constants.early_stopping_patience: 10_000,
+                    constants.early_stopping_window: 10_000,
+                },
+                constants.scheduler: {
+                    constants.scheduler_type: constants.cyclic,
+                    constants.lr_min: 1e-6,
+                    constants.lr_max: 1e-4,
+                    constants.step_size_up: 122,
+                },
+                constants.constraints: {
+                    constants.rho_flux_integral: 1.0,
+                    constants.energy_tolerance: 0.01,
+                    constants.weight_smoothness: 0.0,
+                    constants.weight_ideal_surface: 0.10,
+                },
+            },
+            number_of_surface_points=(points, points),
+            bitmap_resolution=BITMAP,
+        )
+        start = time.perf_counter()
+        reconstructor.reconstruct_surfaces("kl_divergence")
+        return time.perf_counter() - start
+
+    short_epochs, long_epochs = 2, 6
+    t_short = run(short_epochs)
+    t_long = run(long_epochs)
+    per_epoch = (t_long - t_short) / (long_epochs - short_epochs)
+    print(
+        f"surface reconstruction: {t_short:.1f}s/{short_epochs}ep, "
+        f"{t_long:.1f}s/{long_epochs}ep -> {per_epoch:.2f}s/epoch",
+        file=sys.stderr,
+    )
+    if per_epoch <= 0:
+        return {"error": "non-positive per-epoch slope (timing noise)"}
+    return {
+        "epochs_per_hour": round(3600.0 / per_epoch, 1),
+        "seconds_per_epoch": round(per_epoch, 3),
+        "heliostats": heliostats,
+        "batch_size": batch,
+        "rays_per_point": rays,
+        "surface_points": [points, points],
+        "production_300_epochs_minutes": round(300 * per_epoch / 60.0, 1),
+    }
+
+
 def main() -> None:
     from artist_tpu.util import enable_compilation_cache
 
@@ -550,47 +671,103 @@ def main() -> None:
             print(f"blocking measurement failed: {error}", file=sys.stderr)
             result["blocking_rays_per_second"] = 0.0
 
+    def _field_entry(heliostats: int, label: str, candidates=None) -> dict:
+        """Plain + blocking throughput of one field size at LARGE_RAYS/point.
+
+        Every entry here uses the SAME rays/point and ray chunking, so
+        ratios between entries isolate field size (round 4's ratio divided
+        a 4-rays/point entry by the 32-rays/point flagship and its "droop"
+        was entirely the workload-shape change)."""
+        entry: dict = {"heliostats": heliostats, "rays_per_point": LARGE_RAYS}
+        for blocking_on in (False, True) if RUN_BLOCKING else (False,):
+            # Chunk the ray axis even at few rays/point: the scan's
+            # rematerialization is what keeps the backward's activation
+            # memory bounded at 10-40x field size (unchunked, XLA
+            # materializes a [P, R, M, 4, 4]-sized temp ~ 20 GB).
+            step_l, args_l, rays_l = _build_step(
+                blocking=blocking_on,
+                heliostats=heliostats,
+                rays=LARGE_RAYS,
+                ray_chunk=max(1, LARGE_RAYS // 2),
+                candidates=candidates,
+            )
+            timing = _measure(
+                step_l, args_l, f"{label}+blocking" if blocking_on else label
+            )
+            key = "blocking_rays_per_second" if blocking_on else "rays_per_second"
+            entry[key] = round(rays_l / timing["step_seconds"], 1)
+            if measured_peak > 0:
+                entry[key + "_per_measured_matmul_tflop"] = normalized(entry[key])
+        return entry
+
+    control = None
     if RUN_LARGE:
-        # Production-scale check: 10x the field (reduced rays/point so the
-        # per-step ray count stays comparable). With candidate-compacted
+        # Production-scale check: 10x the field, against a SHAPE-MATCHED
+        # control at the flagship field size. With candidate-compacted
         # blocking the per-ray cost must stay near-flat in field size.
         try:
-            large = {}
-            for blocking_on in (False, True) if RUN_BLOCKING else (False,):
-                # Chunk the ray axis even at few rays/point: the scan's
-                # rematerialization is what keeps the backward's activation
-                # memory bounded at 10x field size (unchunked, XLA
-                # materializes a [P, R, M, 4, 4]-sized temp ~ 20 GB).
-                step_l, args_l, rays_l = _build_step(
-                    blocking=blocking_on,
-                    heliostats=LARGE_HELIOSTATS,
-                    rays=LARGE_RAYS,
-                    ray_chunk=max(1, LARGE_RAYS // 2),
-                )
-                label = "large+blocking" if blocking_on else "large"
-                timing = _measure(step_l, args_l, label)
-                key = (
-                    "blocking_rays_per_second"
-                    if blocking_on
-                    else "rays_per_second"
-                )
-                large[key] = round(rays_l / timing["step_seconds"], 1)
-                if measured_peak > 0:
-                    large[key + "_per_measured_matmul_tflop"] = normalized(
-                        large[key]
-                    )
-            large["heliostats"] = LARGE_HELIOSTATS
-            large["rays_per_point"] = LARGE_RAYS
-            if RUN_BLOCKING and result.get("blocking_rays_per_second"):
+            control = _field_entry(NUM_HELIOSTATS, "control")
+            large = _field_entry(LARGE_HELIOSTATS, "large")
+            large["control"] = control
+            if RUN_BLOCKING and control.get("blocking_rays_per_second"):
+                # Same rays/point, same chunking - field size is the ONLY
+                # variable. The plain ratio is the no-blocking control for
+                # the blocking ratio (residual shape effects at 10x size).
                 large["blocking_flat_cost_ratio"] = round(
                     large["blocking_rays_per_second"]
-                    / result["blocking_rays_per_second"],
+                    / control["blocking_rays_per_second"],
                     3,
+                )
+                large["plain_flat_cost_ratio"] = round(
+                    large["rays_per_second"] / control["rays_per_second"], 3
                 )
             result["large_field"] = large
         except Exception as error:  # noqa: BLE001 - report, don't die
             print(f"large-field measurement failed: {error}", file=sys.stderr)
             result["large_field"] = {"error": str(error)}
+
+    if RUN_XL:
+        # Plant-scale entry (Juelich-class ~4k heliostats): the corridor
+        # cull + pair kernels must hold near-flat per-ray cost here too.
+        # The K sweep shows where the candidate budget starts to bind.
+        try:
+            xl = _field_entry(XL_HELIOSTATS, f"xl{XL_HELIOSTATS}")
+            if RUN_BLOCKING:
+                sweep = {}
+                for k in XL_CANDIDATE_SWEEP:
+                    if k == BLOCKING_CANDIDATES:
+                        sweep[str(k)] = xl.get("blocking_rays_per_second", 0.0)
+                        continue
+                    step_k, args_k, rays_k = _build_step(
+                        blocking=True,
+                        heliostats=XL_HELIOSTATS,
+                        rays=LARGE_RAYS,
+                        ray_chunk=max(1, LARGE_RAYS // 2),
+                        candidates=k,
+                    )
+                    timing = _measure(step_k, args_k, f"xl K={k}")
+                    sweep[str(k)] = round(rays_k / timing["step_seconds"], 1)
+                xl["blocking_candidates_sweep"] = sweep
+                if control is not None and control.get("blocking_rays_per_second"):
+                    xl["blocking_flat_cost_ratio"] = round(
+                        xl["blocking_rays_per_second"]
+                        / control["blocking_rays_per_second"],
+                        3,
+                    )
+                    xl["plain_flat_cost_ratio"] = round(
+                        xl["rays_per_second"] / control["rays_per_second"], 3
+                    )
+            result["xl_field"] = xl
+        except Exception as error:  # noqa: BLE001 - report, don't die
+            print(f"xl-field measurement failed: {error}", file=sys.stderr)
+            result["xl_field"] = {"error": str(error)}
+
+    if RUN_OPTIMIZER:
+        try:
+            result["surface_reconstruction"] = _bench_surface_reconstruction()
+        except Exception as error:  # noqa: BLE001 - report, don't die
+            print(f"optimizer measurement failed: {error}", file=sys.stderr)
+            result["surface_reconstruction"] = {"error": str(error)}
 
     # Multi-device scaling efficiency (real chips only; virtual CPU devices
     # share cores, so scaling there measures nothing).

@@ -101,6 +101,32 @@ def render_table(bench: dict, source: str) -> str:
             ),
         ),
     ]
+    xl = bench.get("xl_field", {})
+    if xl.get("rays_per_second"):
+        rows.append(
+            (
+                f"{xl.get('heliostats', '—')}-heliostat plant "
+                f"({xl.get('rays_per_point', '—')} rays/point)",
+                xl.get("rays_per_second"),
+                norm(
+                    xl,
+                    "rays_per_second",
+                    "rays_per_second_per_measured_matmul_tflop",
+                ),
+            )
+        )
+        if xl.get("blocking_rays_per_second"):
+            rows.append(
+                (
+                    f"{xl.get('heliostats', '—')}-heliostat plant, blocking ON",
+                    xl.get("blocking_rays_per_second"),
+                    norm(
+                        xl,
+                        "blocking_rays_per_second",
+                        "blocking_rays_per_second_per_measured_matmul_tflop",
+                    ),
+                )
+            )
     lines = [
         BEGIN,
         f"Source: `{source}` on `{bench.get('device', 'unknown device')}`; chip "
@@ -128,6 +154,20 @@ def render_table(bench: dict, source: str) -> str:
         lines.append(
             f"The step runs at {bench['mfu_vs_measured_peak']:.2f} of the "
             "device's measured matmul peak (`mfu_vs_measured_peak`)."
+        )
+    recon = bench.get("surface_reconstruction", {})
+    if recon.get("epochs_per_hour"):
+        lines.append("")
+        lines.append(
+            f"Optimizer-level: surface reconstruction at the reference's "
+            f"production configuration (batch {recon.get('batch_size')}, "
+            f"{recon.get('rays_per_point')} rays/point, "
+            f"{recon.get('surface_points', ['—'])[0]}x"
+            f"{recon.get('surface_points', ['—', '—'])[1]} points/facet) runs "
+            f"**{recon['epochs_per_hour']:.0f} epochs/hour** "
+            f"({recon.get('seconds_per_epoch')} s/epoch; the reference's "
+            f"300-epoch campaign ≈ "
+            f"{recon.get('production_300_epochs_minutes')} min)."
         )
     lines.append(END)
     return "\n".join(lines)
