@@ -144,8 +144,16 @@ class SurfaceReconstructor:
         distributed_setup: DistributedSetup | None = None,
         checkpoint_dir=None,
         checkpoint_every: int = 25,
+        ray_chunk: int | None = None,
     ) -> None:
+        """``ray_chunk``: chunk the ray axis of the trace under a remat scan
+        (RenderConfig.ray_chunk) - bounds the step's activation memory at
+        production shapes (batch 48 x 180 rays x 10k points otherwise
+        materializes tens of GB of per-ray intermediates in the backward;
+        with chunking a single 16 GB chip runs the reference's production
+        surface-reconstruction configuration)."""
         self.scenario = scenario
+        self.ray_chunk = ray_chunk
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = int(checkpoint_every)
         self.data = data
@@ -196,6 +204,7 @@ class SurfaceReconstructor:
         render_config = RenderConfig(
             bitmap_resolution=self.bitmap_resolution,
             blocking_active=False,
+            ray_chunk=self.ray_chunk,
         )
 
         def flux_loss_fn(cropped: jnp.ndarray, measured: jnp.ndarray) -> jnp.ndarray:

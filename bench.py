@@ -26,7 +26,9 @@ Measurements:
   size" has the measured decomposition).
 - ``xl_field``: 4,000 heliostats (Juelich-class plant) with a
   ``blocking_candidates`` K sweep {8, 16, 32} - the LBVH/corridor cull's
-  reason to exist. ``BENCH_XL=0`` skips it.
+  reason to exist. Runs at ``BENCH_XL_RAYS`` (default 2) rays/point with
+  its own shape-matched control so it fits a single 16 GB chip; the
+  ratios stay one-variable. ``BENCH_XL=0`` skips it.
 - ``surface_reconstruction_epochs_per_hour``: optimizer-level throughput
   at the reference's production configuration (300 epochs, batch 48, 180
   rays/point, 50x50 points/facet - reference:
@@ -95,9 +97,18 @@ BLOCKING_CANDIDATES = int(os.environ.get("BENCH_BLOCKING_CANDIDATES", 16))
 RUN_LARGE = os.environ.get("BENCH_LARGE", "1") != "0"
 LARGE_HELIOSTATS = int(os.environ.get("BENCH_LARGE_HELIOSTATS", 1000))
 LARGE_RAYS = int(os.environ.get("BENCH_LARGE_RAYS", 4))
-# Plant-scale entry (Juelich-class field) with a blocking-K sweep.
+# Plant-scale entry (Juelich-class field) with a blocking-K sweep. Runs at
+# its own (lower) rays/point with its own shape-matched control: 4,000
+# heliostats x 4 rays x 10k points measured ~17-22 GB of backward temps on
+# a 16 GB v5e (2,000 x 4 measured 8.4/10.9 GB plain/blocking), so the XL
+# point holds total rays at the 2,000 x 4 level instead.
 RUN_XL = os.environ.get("BENCH_XL", "1") != "0"
 XL_HELIOSTATS = int(os.environ.get("BENCH_XL_HELIOSTATS", 4000))
+XL_RAYS = int(os.environ.get("BENCH_XL_RAYS", 2))
+# Heliostat-axis microbatch size for the XL entry (0 = no chunking): even
+# at 2 rays/point the O(heliostats x points) backward buffers of a 4,000-
+# heliostat field exceed 16 GB HBM; the remat scan bounds them per chunk.
+XL_HELIOSTAT_CHUNK = int(os.environ.get("BENCH_XL_HELIOSTAT_CHUNK", 500))
 XL_CANDIDATE_SWEEP = tuple(
     int(k)
     for k in os.environ.get("BENCH_XL_CANDIDATES", "8,16,32").split(",")
@@ -244,12 +255,20 @@ def _build_step(
     rays: int = NUM_RAYS,
     ray_chunk: int = RAY_CHUNK,
     candidates: int | None = None,
+    heliostat_chunk: int | None = None,
 ):
-    """The flagship differentiable step; returns (jitted step, args, rays)."""
+    """The flagship differentiable step; returns (jitted step, args, rays).
+
+    ``heliostat_chunk``: microbatch the heliostat axis (gradient
+    accumulation under a remat scan, parallel/microbatch.py) - bounds the
+    O(heliostats x points) backward buffers so plant-scale fields fit one
+    chip. Blocking stays field-wide: chunked corner extraction first, then
+    each chunk traces against the full primitive set."""
     from artist_tpu.field import heliostat_group as hg
     from artist_tpu.field.solar_tower import get_centers_of_target_areas
     from artist_tpu.optim import losses
     from artist_tpu.parallel.mesh import put_global
+    from artist_tpu.parallel.microbatch import chunked_map, chunked_sum
     from artist_tpu.raytracing import RenderConfig, trace_rays
     from artist_tpu.raytracing.blocking import (
         create_blocking_primitives_rectangles_by_index,
@@ -308,15 +327,16 @@ def _build_step(
     # All large arrays (scene state, distortions, ground truth) enter as jit
     # ARGUMENTS: closure-captured concrete arrays get inlined into the HLO as
     # literal constants (measured: 512 MB of HLO text, 10-minute compiles).
-    def loss_fn(control_points, group, du, de, ground_truth):
+    def _aligned_chunk(control_points, group, chunk_indices):
         from artist_tpu.nurbs import (
             create_nurbs_evaluation_grid,
             evaluate_nurbs_surfaces,
         )
 
         active = hg.gather_active(
-            group.replace(nurbs_control_points=control_points), active_indices
+            group.replace(nurbs_control_points=control_points), chunk_indices
         )
+        count = chunk_indices.shape[0]
         points, normals = evaluate_nurbs_surfaces(
             active.nurbs_control_points,
             group.nurbs_degrees,
@@ -325,35 +345,82 @@ def _build_step(
             facet_translations=active.facet_translations,
         )
         active = active.replace(
-            surface_points=points.reshape(num, -1, 4),
-            surface_normals=normals.reshape(num, -1, 4),
+            surface_points=points.reshape(count, -1, 4),
+            surface_normals=normals.reshape(count, -1, 4),
         )
-        aligned_points, aligned_normals, _, _ = (
-            hg.align_surfaces_with_incident_ray_directions(
-                active, aim_points, incident
-            )
+        return hg.align_surfaces_with_incident_ray_directions(
+            active,
+            jnp.take(aim_points, chunk_indices, axis=0),
+            jnp.take(incident, chunk_indices, axis=0),
+        )[:2]
+
+    def _traced_kl_sum(
+        control_points,
+        group,
+        du,
+        de,
+        ground_truth,
+        chunk_indices,
+        primitives,
+        aligned=None,
+    ):
+        aligned_points, aligned_normals = aligned or _aligned_chunk(
+            control_points, group, chunk_indices
         )
-        if blocking:
-            primitives = create_blocking_primitives_rectangles_by_index(
-                aligned_points
-            )
-            primitive_indices = active_indices
-        else:
-            primitives = None
-            primitive_indices = None
         flux, _, _, _ = trace_rays(
             tower=tower,
             aligned_surface_points=aligned_points,
             aligned_surface_normals=aligned_normals,
-            incident_ray_directions=incident,
-            target_area_indices=target_indices,
-            distortions_u=du,
-            distortions_e=de,
+            incident_ray_directions=jnp.take(incident, chunk_indices, axis=0),
+            target_area_indices=jnp.take(
+                target_indices, chunk_indices, axis=0
+            ),
+            distortions_u=jnp.take(du, chunk_indices, axis=0),
+            distortions_e=jnp.take(de, chunk_indices, axis=0),
             blocking_primitives=primitives,
-            ray_primitive_indices=primitive_indices,
+            ray_primitive_indices=chunk_indices if blocking else None,
             config=config,
         )
-        return jnp.mean(losses.kl_divergence_loss(flux, ground_truth))
+        return jnp.sum(
+            losses.kl_divergence_loss(
+                flux, jnp.take(ground_truth, chunk_indices, axis=0)
+            )
+        )
+
+    def loss_fn(control_points, group, du, de, ground_truth):
+        if heliostat_chunk:
+            primitives = None
+            if blocking:
+                # Phase 1: every chunk's 4-corner primitives ([H, 4, 4]-
+                # scale outputs - tiny), so phase 2 blocks field-wide.
+                primitives = chunked_map(
+                    lambda idx: create_blocking_primitives_rectangles_by_index(
+                        _aligned_chunk(control_points, group, idx)[0]
+                    ),
+                    active_indices,
+                    heliostat_chunk,
+                )
+            total = chunked_sum(
+                lambda idx: _traced_kl_sum(
+                    control_points, group, du, de, ground_truth, idx, primitives
+                ),
+                active_indices,
+                heliostat_chunk,
+            )
+            return total / num
+        aligned = _aligned_chunk(control_points, group, active_indices)
+        primitives = (
+            create_blocking_primitives_rectangles_by_index(aligned[0])
+            if blocking
+            else None
+        )
+        return (
+            _traced_kl_sum(
+                control_points, group, du, de, ground_truth,
+                active_indices, primitives, aligned=aligned,
+            )
+            / num
+        )
 
     step = jax.jit(jax.value_and_grad(loss_fn))
     args = (
@@ -575,12 +642,17 @@ def _bench_surface_reconstruction() -> dict:
             },
             number_of_surface_points=(points, points),
             bitmap_resolution=BITMAP,
+            # 180 rays x 48 samples x 10k points un-chunked materializes
+            # tens of GB of per-ray backward temps; the remat scan bounds
+            # it (the same knob every production 16 GB-chip run needs).
+            ray_chunk=12 if rays >= 24 else None,
         )
         start = time.perf_counter()
         reconstructor.reconstruct_surfaces("kl_divergence")
         return time.perf_counter() - start
 
     short_epochs, long_epochs = 2, 6
+    run(short_epochs)  # warmup: pays the jit compiles (persistent-cached)
     t_short = run(short_epochs)
     t_long = run(long_epochs)
     per_epoch = (t_long - t_short) / (long_epochs - short_epochs)
@@ -671,14 +743,20 @@ def main() -> None:
             print(f"blocking measurement failed: {error}", file=sys.stderr)
             result["blocking_rays_per_second"] = 0.0
 
-    def _field_entry(heliostats: int, label: str, candidates=None) -> dict:
-        """Plain + blocking throughput of one field size at LARGE_RAYS/point.
+    def _field_entry(
+        heliostats: int,
+        label: str,
+        candidates=None,
+        rays: int = LARGE_RAYS,
+        heliostat_chunk: int | None = None,
+    ) -> dict:
+        """Plain + blocking throughput of one field size at ``rays``/point.
 
-        Every entry here uses the SAME rays/point and ray chunking, so
-        ratios between entries isolate field size (round 4's ratio divided
-        a 4-rays/point entry by the 32-rays/point flagship and its "droop"
-        was entirely the workload-shape change)."""
-        entry: dict = {"heliostats": heliostats, "rays_per_point": LARGE_RAYS}
+        A ratio is only taken between entries with the SAME rays/point and
+        ray chunking, so field size is the lone variable (round 4's ratio
+        divided a 4-rays/point entry by the 32-rays/point flagship and its
+        "droop" was entirely the workload-shape change)."""
+        entry: dict = {"heliostats": heliostats, "rays_per_point": rays}
         for blocking_on in (False, True) if RUN_BLOCKING else (False,):
             # Chunk the ray axis even at few rays/point: the scan's
             # rematerialization is what keeps the backward's activation
@@ -687,9 +765,10 @@ def main() -> None:
             step_l, args_l, rays_l = _build_step(
                 blocking=blocking_on,
                 heliostats=heliostats,
-                rays=LARGE_RAYS,
-                ray_chunk=max(1, LARGE_RAYS // 2),
+                rays=rays,
+                ray_chunk=max(1, rays // 2),
                 candidates=candidates,
+                heliostat_chunk=heliostat_chunk,
             )
             timing = _measure(
                 step_l, args_l, f"{label}+blocking" if blocking_on else label
@@ -731,7 +810,18 @@ def main() -> None:
         # cull + pair kernels must hold near-flat per-ray cost here too.
         # The K sweep shows where the candidate budget starts to bind.
         try:
-            xl = _field_entry(XL_HELIOSTATS, f"xl{XL_HELIOSTATS}")
+            xl_control = _field_entry(
+                NUM_HELIOSTATS, "xl-control", rays=XL_RAYS
+            )
+            xl = _field_entry(
+                XL_HELIOSTATS,
+                f"xl{XL_HELIOSTATS}",
+                rays=XL_RAYS,
+                heliostat_chunk=XL_HELIOSTAT_CHUNK or None,
+            )
+            if XL_HELIOSTAT_CHUNK:
+                xl["heliostat_chunk"] = XL_HELIOSTAT_CHUNK
+            xl["control"] = xl_control
             if RUN_BLOCKING:
                 sweep = {}
                 for k in XL_CANDIDATE_SWEEP:
@@ -741,21 +831,22 @@ def main() -> None:
                     step_k, args_k, rays_k = _build_step(
                         blocking=True,
                         heliostats=XL_HELIOSTATS,
-                        rays=LARGE_RAYS,
-                        ray_chunk=max(1, LARGE_RAYS // 2),
+                        rays=XL_RAYS,
+                        ray_chunk=max(1, XL_RAYS // 2),
                         candidates=k,
+                        heliostat_chunk=XL_HELIOSTAT_CHUNK or None,
                     )
                     timing = _measure(step_k, args_k, f"xl K={k}")
                     sweep[str(k)] = round(rays_k / timing["step_seconds"], 1)
                 xl["blocking_candidates_sweep"] = sweep
-                if control is not None and control.get("blocking_rays_per_second"):
+                if xl_control.get("blocking_rays_per_second"):
                     xl["blocking_flat_cost_ratio"] = round(
                         xl["blocking_rays_per_second"]
-                        / control["blocking_rays_per_second"],
+                        / xl_control["blocking_rays_per_second"],
                         3,
                     )
                     xl["plain_flat_cost_ratio"] = round(
-                        xl["rays_per_second"] / control["rays_per_second"], 3
+                        xl["rays_per_second"] / xl_control["rays_per_second"], 3
                     )
             result["xl_field"] = xl
         except Exception as error:  # noqa: BLE001 - report, don't die

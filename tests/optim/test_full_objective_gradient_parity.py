@@ -11,15 +11,17 @@ What is (and is not) gateable in fp32, established by bisection:
   control points at cosine >= 0.999 under weighted-SUM losses (raw and
   cropped), and the Augmented-Lagrangian energy-constraint term (sums of
   cropped flux) is equally stable. Gated below.
-- The KL loss's POINTWISE gradient through that chain is NOT a valid fp32
-  gate: its backward is dominated by 1/(q + 1e-12) factors at
-  near-zero-flux boundary pixels, so the gradient direction is not even
-  self-consistent - THIS framework's own eager vs jitted full-KL gradient
-  has cosine ~0.14 on identical inputs (the loss agrees to ~1e-3). The
-  same instability exists in the reference (same formula). The KL level is
-  therefore gated on LOSS parity plus the instability being on record,
-  with optimizer-level convergence parity
-  (tests/optim/test_convergence_parity.py) covering the trajectory.
+- The KL loss's POINTWISE gradient through that chain is only gateable at
+  matched inputs: its backward is dominated by 1/(q + 1e-12) factors at
+  near-zero-flux boundary pixels, which amplify ~1e-7 differences in
+  independently parsed inputs into cosine ~0.14 (measured; the loss moves
+  only ~1e-3). At bitwise-shared inputs the fp32 full objective gates at
+  cosine >= 0.999 (test at :419), and the fp64 subprocess gate
+  (test_surface_kl_objective_gradient_parity_fp64 + _fp64_kl_probe.py)
+  proves the production objective end-to-end at double precision:
+  raw-flux KL cosine 0.99996; with the CoM crop 0.99897 - the residual
+  1e-3 is a deterministic crop-resampling difference amplified by the
+  same boundary terms, not fp32 noise.
 - The flux-driven kinematics objective (focal-spot loss: smooth CoM
   distance, per-heliostat median) IS stable and is gated pointwise at
   cosine >= 0.999.
@@ -27,6 +29,9 @@ What is (and is not) gateable in fp32, established by bisection:
 reference: artist/optim/surface_reconstructor.py:593-747,960-1075 and
 artist/optim/kinematics_reconstructor.py:535-622.
 """
+
+import os
+import pathlib
 
 import numpy as np
 import pytest
@@ -590,3 +595,48 @@ def test_kinematics_flux_driven_gradient_parity(
     np.testing.assert_allclose(
         ours["gradients"] / scale, captured[0] / scale, atol=5e-3
     )
+
+
+@pytest.mark.slow
+def test_surface_kl_objective_gradient_parity_fp64(reference_artist):
+    """fp64 full-KL gradient gate (round-4 punch-list item 6).
+
+    Runs tests/optim/_fp64_kl_probe.py in a SUBPROCESS (jax_enable_x64 and
+    torch.set_default_dtype are process-global) computing the production KL
+    objective's gradient at float64 in both frameworks on bitwise-shared
+    inputs. Measured bisection (recorded in the probe's docstring):
+
+    - raw-flux KL at fp64: cosine 0.99996 - the trace chain (NURBS ->
+      align -> trace) is algorithmically equivalent; gated >= 0.999.
+    - full objective (with the CoM-following crop) at fp64: cosine
+      0.99897 - the crop's zoom amplifies a stable ~5e-5 forward flux
+      difference ~40x through the KL 1/(q+eps) boundary terms. The
+      residual is a deterministic crop-resampling difference, NOT fp32
+      noise (it does not shrink from fp32 to fp64); gated >= 0.998.
+    """
+    import json
+    import subprocess
+    import sys as _sys
+
+    probe = pathlib.Path(__file__).with_name("_fp64_kl_probe.py")
+    completed = subprocess.run(
+        [_sys.executable, str(probe), "/root/reference"],
+        capture_output=True,
+        text=True,
+        timeout=1500,
+        env={
+            key: value
+            for key, value in os.environ.items()
+            if key not in ("JAX_PLATFORMS", "XLA_FLAGS")
+        },
+    )
+    assert completed.returncode == 0, (
+        f"fp64 probe failed:\n{completed.stdout[-2000:]}\n"
+        f"{completed.stderr[-2000:]}"
+    )
+    line = completed.stdout.strip().splitlines()[-1]
+    metrics = json.loads(line)
+    assert metrics["cosine_raw"] >= 0.999, metrics
+    assert metrics["cosine_full"] >= 0.998, metrics
+    assert metrics["loss_rel_diff_raw"] < 1e-4, metrics
+    assert metrics["loss_rel_diff_full"] < 1e-3, metrics

@@ -1,0 +1,89 @@
+"""Sample-axis microbatching: chunked == unchunked, values and gradients.
+
+The chunked path is what lets a 4,000-heliostat field fit one chip
+(bench.py xl_field); these tests prove the remat scan changes memory, not
+math - including the two-phase blocking structure where every chunk
+traces against the FULL primitive set.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from artist_tpu.parallel.microbatch import chunked_map, chunked_sum
+
+
+def test_chunked_sum_matches_direct():
+    xs = jnp.arange(24.0).reshape(12, 2)
+
+    def fn(x):
+        return {"a": jnp.sum(x**2), "b": jnp.sum(x, axis=0)}
+
+    direct = fn(xs)
+    chunked = chunked_sum(fn, xs, 3)
+    np.testing.assert_allclose(chunked["a"], direct["a"], rtol=1e-6)
+    np.testing.assert_allclose(chunked["b"], direct["b"], rtol=1e-6)
+
+
+def test_chunked_map_matches_direct():
+    xs = jnp.arange(20.0).reshape(10, 2)
+    out = chunked_map(lambda x: x * 2.0 + 1.0, xs, 5)
+    np.testing.assert_allclose(out, xs * 2.0 + 1.0)
+
+
+def test_chunk_divisibility_error():
+    with pytest.raises(ValueError, match="not divisible"):
+        chunked_sum(jnp.sum, jnp.ones((10, 2)), 3)
+
+
+def test_gradient_accumulation_matches():
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (4,))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+
+    def loss_direct(w):
+        return jnp.sum(jnp.tanh(xs @ w) ** 2)
+
+    def loss_chunked(w):
+        return chunked_sum(lambda x: jnp.sum(jnp.tanh(x @ w) ** 2), xs, 4)
+
+    g_direct = jax.grad(loss_direct)(w)
+    g_chunked = jax.grad(loss_chunked)(w)
+    np.testing.assert_allclose(g_chunked, g_direct, rtol=1e-6)
+
+
+def test_bench_step_chunked_equals_unchunked():
+    """The bench's heliostat-chunked loss (incl. two-phase field-wide
+    blocking) equals the unchunked step, value and gradient."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    import bench
+
+    results = {}
+    for chunk in (None, 2):
+        step, args, _ = bench._build_step(
+            blocking=True,
+            heliostats=4,
+            rays=2,
+            ray_chunk=1,
+            candidates=2,
+            heliostat_chunk=chunk,
+        )
+        loss, grads = step(*args)
+        results[chunk] = (float(loss), np.asarray(grads))
+    loss_direct, grad_direct = results[None]
+    loss_chunked, grad_chunked = results[2]
+    # fp32 batch-size-dependent tiling reassociates the per-heliostat sums;
+    # the KL log terms amplify that to ~5e-5 in the LOSS while the gradient
+    # stays at ~1e-7 (measured identical with blocking off, so it is the
+    # plain compute, not the two-phase blocking structure).
+    assert abs(loss_chunked - loss_direct) < 1e-4 * max(abs(loss_direct), 1.0)
+    scale = max(np.abs(grad_direct).max(), 1e-12)
+    np.testing.assert_allclose(
+        grad_chunked / scale, grad_direct / scale, atol=1e-5
+    )
