@@ -321,3 +321,120 @@ def test_render_parity_on_device():
     )
     np.testing.assert_allclose(intercept_tpu, intercept_ref, atol=1e-3)
     np.testing.assert_allclose(blocking_tpu, blocking_ref, atol=1e-3)
+
+
+def test_flagship_shape_splat_parity_on_device():
+    """Splat parity at the PRODUCTION shape the bench sells (32M rays,
+    256x256), fwd + all three gradients, for the bf16, fp32, windowed and
+    dynamic-window variants - round 4's on-chip regression hid at exactly
+    the shapes the toy lane missed."""
+    from artist_tpu.raytracing.splatting import bilinear_splat, point_tile_order
+
+    heliostats, rays, points_side = 100, 32, 50
+    points = points_side * points_side * 4
+    rng = np.random.default_rng(0)
+    order = np.asarray(point_tile_order(points_side, points_side, 4, 10))
+    pu = (order // (points_side * 2)) / (points_side * 2)
+    pv = (order % (points_side * 2)) / (points_side * 2)
+    u = 35 + 185 * pu[None, None, :] + 6.0 * rng.standard_normal(
+        (heliostats, rays, points)
+    )
+    e = 35 + 185 * pv[None, None, :] + 6.0 * rng.standard_normal(
+        (heliostats, rays, points)
+    )
+    w = rng.random((heliostats, rays, points))
+    e, u, w = (
+        jnp.asarray(x.reshape(heliostats, -1), jnp.float32) for x in (e, u, w)
+    )
+    resolution = (256, 256)
+
+    reference = bilinear_splat(
+        e, u, w, resolution, flip_up_down=False, method="scatter"
+    )
+    scale = float(jnp.max(reference))
+    for kwargs, atol in [
+        (dict(method="pallas"), 2e-3 * scale),
+        (dict(method="pallas_fp32"), 1e-5 * scale),
+        (dict(method="pallas_fp32", block_window=96), 1e-5 * scale),
+        (dict(method="pallas", block_window=96), 2e-3 * scale),
+    ]:
+        got = bilinear_splat(e, u, w, resolution, flip_up_down=False, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(reference),
+            atol=atol,
+            err_msg=f"forward {kwargs}",
+        )
+
+    # Gradients at the same shape (sum-loss cotangent).
+    def loss(kwargs, e_, u_, w_):
+        return jnp.sum(
+            bilinear_splat(e_, u_, w_, resolution, flip_up_down=False, **kwargs)
+        )
+
+    grad = jax.jit(
+        lambda kw, e_, u_, w_: jax.grad(loss, argnums=(1, 2, 3))(kw, e_, u_, w_),
+        static_argnames=(),
+    )
+    ref_grads = jax.grad(loss, argnums=(1, 2, 3))(dict(method="scatter"), e, u, w)
+    dyn_grads = jax.grad(loss, argnums=(1, 2, 3))(
+        dict(method="pallas_fp32", block_window=96), e, u, w
+    )
+    for name, mine, theirs in zip(("de", "du", "dw"), dyn_grads, ref_grads):
+        gscale = max(float(jnp.abs(theirs).max()), 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(mine) / gscale,
+            np.asarray(theirs) / gscale,
+            atol=1e-5,
+            err_msg=f"dynamic-window gradient {name} at flagship shape",
+        )
+    del grad
+
+
+def test_compacted_blocking_optimizer_epoch_on_device():
+    """Two aim-point epochs with candidate-compacted blocking ON, on-chip:
+    the configuration the aim-point optimizer actually ships (tanh reparam,
+    3 AL constraints, compacted pair kernels) survives jit + real Mosaic."""
+    from artist_tpu.optim.aim_point_optimizer import AimPointOptimizer
+    from artist_tpu.scenario.synthetic import make_synthetic_scenario
+    from artist_tpu.util import constants
+
+    scenario = make_synthetic_scenario(
+        number_of_heliostats=8,
+        number_of_surface_points_per_facet=(8, 8),
+        number_of_rays=4,
+    )
+    optimizer = AimPointOptimizer(
+        scenario=scenario,
+        optimization_configuration={
+            constants.optimization: {
+                constants.initial_learning_rate: 1e-3,
+                constants.tolerance: 1e-9,
+                constants.max_epoch: 2,
+                constants.batch_size: 8,
+                constants.log_step: 0,
+                constants.early_stopping_delta: 1.0,
+                constants.early_stopping_patience: 5,
+                constants.early_stopping_window: 40,
+            },
+            constants.scheduler: {
+                constants.scheduler_type: constants.exponential,
+                constants.gamma: 0.99,
+            },
+            constants.constraints: {
+                constants.rho_flux_integral: 1.0,
+                constants.rho_intercept: 1.0,
+                constants.rho_local_flux: 1.0,
+                constants.max_flux_density: 1e6,
+            },
+        },
+        incident_ray_direction=np.array([0.0, 1.0, 0.0, 0.0], np.float32),
+        target_area_index=0,
+        ground_truth=np.ones((64, 64), np.float32),
+        dni=1000.0,
+        bitmap_resolution=(64, 64),
+        blocking_candidates=4,
+    )
+    loss, history, _, _, _ = optimizer.optimize("kl_divergence")
+    assert len(history["total_loss"]) >= 2
+    assert np.isfinite(history["total_loss"]).all()
