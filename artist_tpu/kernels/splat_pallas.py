@@ -35,6 +35,19 @@ Performance notes (measured on v5e, 32M rays, 256x256 bitmaps):
   Lower cost requires shrinking the formulation (windowed splat below) -
   but see bench.py's honesty note: wide sun-cone spread makes windows
   unsound for bitmap-filling production geometries.
+- FORMULATION CEILING (measured round 5, tools/splat_formulation_bench.py,
+  flagship shape, ~192 TFLOP/s calibration): the one-hot matmul is bound
+  by per-ray operand STREAMING through the MXU contraction (~1.1 ns/ray
+  fwd), not by FLOPs - a 2D dynamic-window prototype (96x128 windows,
+  72% of point-tile-ordered blocks fit, ~2.4x fewer matmul FLOPs)
+  measured the SAME ~36 ms forward as the full-bitmap kernel, matching
+  the earlier row-window result (end-to-end neutral) and the "halving H
+  bought 11%" note above. The alternatives are closed out empirically:
+  a literal per-ray VMEM accumulate is not expressible (Mosaic rejects
+  scalar stores to VMEM; the closest expressible form of scatter IS this
+  one-hot matmul), and a sort+segment formulation pays 79 ms just to
+  sort 32M pixel keys - more than the entire splat fwd+bwd. This kernel
+  is the TPU-native optimum for bitmap-filling geometries at this shape.
 
 The backward pass is two more matmuls per block (``A0 @ g`` and
 ``Ad @ g``), wired up via ``jax.custom_vjp``.

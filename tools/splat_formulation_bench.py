@@ -57,8 +57,13 @@ def _flagship_rays():
     order = np.asarray(point_tile_order(POINTS, POINTS, 4, 10))
     # Per-point spot centers: a smooth field over the mirror (scaled to
     # ~185 px spread), then per-ray jitter of ~6 px std (60 px max cone).
-    pu = (order // (POINTS * 2)) / (POINTS * 2)
-    pv = (order % (POINTS * 2)) / (POINTS * 2)
+    # Decode (facet, row, col) from the tile-order permutation so the
+    # center map is geometrically smooth (facets tile a 2x2 mirror grid).
+    facet = order // (POINTS * POINTS)
+    row = (order % (POINTS * POINTS)) // POINTS
+    col = order % POINTS
+    pu = ((facet // 2) * POINTS + row) / (2 * POINTS)
+    pv = ((facet % 2) * POINTS + col) / (2 * POINTS)
     center_u = 35 + 185 * pu
     center_e = 35 + 185 * pv
     u = center_u[None, None, :] + 6.0 * rng.standard_normal(
@@ -68,19 +73,97 @@ def _flagship_rays():
         (HELIOSTATS, RAYS, points)
     )
     w = rng.random((HELIOSTATS, RAYS, points)).astype(np.float32)
+    # POINT-MAJOR layout (points outer, rays inner per point is wrong too -
+    # production orders rays so consecutive entries share spatial tiles):
+    # transpose to (H, points, RAYS) so a 1024-ray block covers ~32
+    # consecutive tile-ordered points x 32 rays - compact deposit spans.
     reshape = lambda x: jnp.asarray(
-        x.reshape(HELIOSTATS, RAYS * points).astype(np.float32)
+        np.swapaxes(x, 1, 2).reshape(HELIOSTATS, RAYS * points).astype(np.float32)
     )
     return reshape(e), reshape(u), reshape(w)
 
 
-def _time(fn, *args, steps=STEPS):
-    out = jax.block_until_ready(fn(*args))
-    start = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / steps
+_SALT = [0]
+
+
+def _time(fn_factory, *args, chains=(2, 8)):
+    """Slope timing through the tunnel, with SALTED inputs.
+
+    Two failure modes measured here: (a) ``block_until_ready`` can return
+    early for queued calls (0.07 "ms" for a 54 ms kernel), fixed by
+    chaining data-dependent iterations inside ONE jit; (b) the tunnel
+    MEMOIZES identical (executable, input) executions - a repeat call of
+    an already-run program with the same buffers returned in 0.4 ms while
+    a fresh one took 290 ms - fixed by salting one input per call (the
+    salt perturbs values at 1e-6, irrelevant for timing). The slope
+    between two chain lengths cancels dispatch and fixed overheads.
+    ``fn_factory(n)`` must return a jitted ``run(*args, salt)`` running n
+    data-dependent iterations."""
+    times = []
+    for n in chains:
+        fn = fn_factory(n)
+        _SALT[0] += 1
+        jax.block_until_ready(fn(*args, jnp.float32(_SALT[0] * 1e-6)))
+        best = float("inf")
+        for _ in range(2):
+            _SALT[0] += 1
+            salt = jnp.float32(_SALT[0] * 1e-6)
+            start = time.perf_counter()
+            jax.block_until_ready(fn(*args, salt))
+            best = min(best, time.perf_counter() - start)
+        times.append(best)
+    return (times[1] - times[0]) / (chains[1] - chains[0])
+
+
+def _chained_splat(kwargs):
+    """fn_factory for forward splat: n data-dependent splat calls."""
+
+    def factory(n):
+        @jax.jit
+        def run(e, u, w, salt):
+            w = w + salt
+            def body(_, carry):
+                acc, feed = carry
+                out = bilinear_splat(
+                    e + feed, u, w, RES, flip_up_down=False, **kwargs
+                )
+                return out, out[0, 0, 0] * 1e-30
+
+            out, _ = jax.lax.fori_loop(
+                0, n, body, (jnp.zeros((e.shape[0], RES[1], RES[0])), 0.0)
+            )
+            return out
+
+        return run
+
+    return factory
+
+
+def _chained_splat_grad(kwargs):
+    """fn_factory for fwd+bwd: n data-dependent grad-of-splat calls."""
+
+    def factory(n):
+        def loss(e, u, w):
+            return jnp.sum(
+                bilinear_splat(e, u, w, RES, flip_up_down=False, **kwargs)
+            )
+
+        @jax.jit
+        def run(e, u, w, salt):
+            w = w + salt
+            def body(_, carry):
+                grads, feed = carry
+                grads = jax.grad(loss, argnums=(0, 1, 2))(e + feed, u, w)
+                return grads, grads[0][0, 0] * 1e-30
+
+            grads, _ = jax.lax.fori_loop(
+                0, n, body, ((jnp.zeros_like(e),) * 3, 0.0)
+            )
+            return grads
+
+        return run
+
+    return factory
 
 
 # ----------------------------------------------------------------------- #
@@ -297,61 +380,74 @@ def main() -> None:
     result = {"total_rays": total_rays, "resolution": list(RES)}
 
     # 1. production one-hot
-    fwd = jax.jit(
-        lambda e, u, w: bilinear_splat(
-            e, u, w, RES, flip_up_down=False, method="pallas"
-        )
+    result["onehot_fwd_ms"] = round(
+        _time(_chained_splat(dict(method="pallas")), e, u, w) * 1e3, 2
     )
-    result["onehot_fwd_ms"] = round(_time(fwd, e, u, w) * 1e3, 2)
-    grad = jax.jit(
-        jax.grad(
-            lambda e, u, w: jnp.sum(
-                bilinear_splat(e, u, w, RES, flip_up_down=False, method="pallas")
-            ),
-            argnums=(0, 1, 2),
-        )
+    result["onehot_fwdbwd_ms"] = round(
+        _time(_chained_splat_grad(dict(method="pallas")), e, u, w) * 1e3, 2
     )
-    result["onehot_fwdbwd_ms"] = round(_time(grad, e, u, w) * 1e3, 2)
 
     # 2. row dynamic-window
-    fwd_dyn = jax.jit(
-        lambda e, u, w: bilinear_splat(
-            e, u, w, RES, flip_up_down=False, method="pallas", block_window=96
-        )
+    row = dict(method="pallas", block_window=96)
+    result["rowwin_fwd_ms"] = round(_time(_chained_splat(row), e, u, w) * 1e3, 2)
+    result["rowwin_fwdbwd_ms"] = round(
+        _time(_chained_splat_grad(row), e, u, w) * 1e3, 2
     )
-    result["rowwin_fwd_ms"] = round(_time(fwd_dyn, e, u, w) * 1e3, 2)
-    grad_dyn = jax.jit(
-        jax.grad(
-            lambda e, u, w: jnp.sum(
-                bilinear_splat(
-                    e, u, w, RES, flip_up_down=False,
-                    method="pallas", block_window=96,
-                )
-            ),
-            argnums=(0, 1, 2),
-        )
-    )
-    result["rowwin_fwdbwd_ms"] = round(_time(grad_dyn, e, u, w) * 1e3, 2)
 
     # 3. 2D dynamic-window forward prototype (+ parity check)
-    fwd2d = jax.jit(lambda e, u, w: dyn2d_forward(e, u, w, RES)[0])
     reference = np.asarray(
         bilinear_splat(e, u, w, RES, flip_up_down=False, method="scatter")
     )
-    got = np.asarray(fwd2d(e, u, w))
-    err = float(np.abs(got - reference).max() / reference.max())
-    _, fit_fraction = jax.jit(
-        lambda e, u, w: dyn2d_forward(e, u, w, RES)
-    )(e, u, w)
+    got, fit_fraction = jax.jit(lambda e, u, w: dyn2d_forward(e, u, w, RES))(
+        e, u, w
+    )
+    err = float(np.abs(np.asarray(got) - reference).max() / reference.max())
     result["dyn2d_max_rel_err"] = round(err, 6)
     result["dyn2d_fit_fraction"] = round(float(fit_fraction), 4)
-    result["dyn2d_fwd_ms"] = round(_time(fwd2d, e, u, w) * 1e3, 2)
 
-    # 4. literal per-ray accumulate, at 1/32 of the rays (expected slow)
-    small = (e[:, : e.shape[1] // 32], u[:, : u.shape[1] // 32], w[:, : w.shape[1] // 32])
-    scat = jax.jit(lambda e, u, w: scatter_forward(e, u, w, RES))
+    def dyn2d_factory(n):
+        @jax.jit
+        def run(e, u, w, salt):
+            w = w + salt
+            def body(_, carry):
+                acc, feed = carry
+                out, _ = dyn2d_forward(e + feed, u, w, RES)
+                return out, out[0, 0, 0] * 1e-30
+
+            out, _ = jax.lax.fori_loop(
+                0, n, body, (jnp.zeros((e.shape[0], RES[1], RES[0])), 0.0)
+            )
+            return out
+
+        return run
+
+    result["dyn2d_fwd_ms"] = round(_time(dyn2d_factory, e, u, w) * 1e3, 2)
+
+    # 4. literal per-ray accumulate (the "vector scatter"), 1/32 of the rays
+    small = (
+        e[:, : e.shape[1] // 32],
+        u[:, : u.shape[1] // 32],
+        w[:, : w.shape[1] // 32],
+    )
+
+    def scatter_factory(n):
+        @jax.jit
+        def run(e, u, w, salt):
+            w = w + salt
+            def body(_, carry):
+                acc, feed = carry
+                out = scatter_forward(e + feed, u, w, RES)
+                return out, out[0, 0, 0] * 1e-30
+
+            out, _ = jax.lax.fori_loop(
+                0, n, body, (jnp.zeros((e.shape[0], RES[1], RES[0])), 0.0)
+            )
+            return out
+
+        return run
+
     try:
-        ms = _time(scat, *small, steps=3) * 1e3
+        ms = _time(scatter_factory, *small) * 1e3
         result["per_ray_accumulate_fwd_ms_at_1_32_rays"] = round(ms, 2)
         result["per_ray_accumulate_extrapolated_fwd_ms"] = round(ms * 32, 1)
     except Exception as error:  # noqa: BLE001
@@ -362,8 +458,19 @@ def main() -> None:
         np.random.default_rng(1).integers(0, RES[0] * RES[1], total_rays),
         jnp.int32,
     )
-    sort = jax.jit(lambda k: jax.lax.sort(k))
-    result["sort_32m_keys_ms"] = round(_time(sort, keys, steps=3) * 1e3, 1)
+
+    def sort_factory(n):
+        @jax.jit
+        def run(k, salt):
+            k = k + (salt * 1e9).astype(jnp.int32) % 7
+            def body(_, carry):
+                return jax.lax.sort(carry)
+
+            return jax.lax.fori_loop(0, n, body, k)
+
+        return run
+
+    result["sort_32m_keys_ms"] = round(_time(sort_factory, keys) * 1e3, 1)
 
     print(json.dumps(result))
 
