@@ -90,16 +90,26 @@ class AimPointOptimizer:
         checkpoint_dir=None,
         checkpoint_every: int = 25,
         blocking_candidates: int | None = None,
+        heliostat_chunk: int | None = None,
     ) -> None:
         """``blocking_candidates``: per-heliostat candidate-blocker budget K
         for the compacted Pallas pair kernels (None = the dense
         O(rays x field) path). The corridor pre-cull is conservative and
         stop-gradient; at production fields K=16 measured ~4.9x blocking
-        throughput (docs/performance.md)."""
+        throughput (docs/performance.md).
+
+        ``heliostat_chunk``: microbatch each group's heliostat axis under a
+        remat scan (parallel/microbatch.py) - bounds the
+        O(heliostats x points) backward buffers so plant-scale fields
+        (4,000+ heliostats) fit a single chip. Blocking stays field-wide
+        and exact: corners are extracted chunk-by-chunk first, then every
+        chunk traces against the full primitive set. Must divide each
+        group's heliostat count."""
         self.scenario = scenario
         self.blocking_candidates = (
             int(blocking_candidates) if blocking_candidates else None
         )
+        self.heliostat_chunk = int(heliostat_chunk) if heliostat_chunk else None
         self.distributed_setup = distributed_setup
         if mesh is None and distributed_setup is not None:
             mesh = distributed_setup.mesh
@@ -279,26 +289,65 @@ class AimPointOptimizer:
         # into the HLO as literal constants, bloating compiles.
         scene = {"groups": tuple(groups), "distortions": distortions}
 
+        heliostat_chunk = self.heliostat_chunk
+
         def forward(group_params, scene):
-            """Align all groups, trace with blocking, accumulate target flux."""
+            """Align all groups, trace with blocking, accumulate target flux.
+
+            With ``heliostat_chunk`` set, each group's align/trace runs as
+            heliostat microbatches under a remat scan
+            (parallel/microbatch.py): corners first (phase 1, tiny
+            outputs), then every chunk traces against the FULL primitive
+            set (phase 2) and the target flux accumulates across chunks -
+            field-wide blocking and its gradients stay exact while the
+            O(heliostats x points) backward buffers stay chunk-sized."""
+            from artist_tpu.parallel.microbatch import (
+                chunked_map,
+                chunked_sum_and_map,
+            )
+
             groups_ = scene["groups"]
             distortions_ = scene["distortions"]
-            aligned = []
-            for g, group in enumerate(groups_):
-                motor = initial_motor_positions[g] + jnp.tanh(
-                    group_params[g]
-                ) * scales[g]
-                active = hg.gather_active(group, active_indices[g])
+            motors = [
+                initial_motor_positions[g] + jnp.tanh(group_params[g]) * scales[g]
+                for g in range(len(groups_))
+            ]
+
+            def aligned_chunk(g, idx):
+                active = hg.gather_active(groups_[g], idx)
                 points, normals, _ = hg.align_surfaces_with_motor_positions(
-                    active, motor
+                    active, jnp.take(motors[g], idx, axis=0)
                 )
-                aligned.append((points, normals))
+                return points, normals
+
+            def chunking(group):
+                return (
+                    heliostat_chunk
+                    if heliostat_chunk
+                    and group.number_of_heliostats % heliostat_chunk == 0
+                    and group.number_of_heliostats > heliostat_chunk
+                    else None
+                )
 
             # Field-wide blocking primitives from all aligned surfaces
             # (reference: heliostat_ray_tracer.py:159-183).
             corners, spans, prim_normals = [], [], []
-            for points, _ in aligned:
-                c, s, n = create_blocking_primitives_rectangles_by_index(points)
+            for g, group in enumerate(groups_):
+                chunk = chunking(group)
+                if chunk:
+                    c, s, n = chunked_map(
+                        lambda idx, g=g: (
+                            create_blocking_primitives_rectangles_by_index(
+                                aligned_chunk(g, idx)[0]
+                            )
+                        ),
+                        active_indices[g],
+                        chunk,
+                    )
+                else:
+                    c, s, n = create_blocking_primitives_rectangles_by_index(
+                        aligned_chunk(g, active_indices[g])[0]
+                    )
                 corners.append(c)
                 spans.append(s)
                 prim_normals.append(n)
@@ -317,26 +366,43 @@ class AimPointOptimizer:
             )
             intercepts, on_targets, blockings = [], [], []
             for g, group in enumerate(groups_):
-                points, normals = aligned[g]
-                primitive_indices = jnp.arange(
-                    group.number_of_heliostats, dtype=jnp.int32
-                ) + int(group_offsets[g])
-                flux, intercept, on_target, blocking = trace_rays(
-                    tower=tower,
-                    aligned_surface_points=points,
-                    aligned_surface_normals=normals,
-                    incident_ray_directions=incident_dirs[g],
-                    target_area_indices=target_indices[g],
-                    distortions_u=distortions_[g][0],
-                    distortions_e=distortions_[g][1],
-                    ray_magnitude=ray_magnitudes[g],
-                    blocking_primitives=primitives,
-                    ray_primitive_indices=primitive_indices,
-                    config=render_config,
-                )
-                total_flux = total_flux + get_bitmaps_per_target(
-                    flux, target_indices[g], number_of_target_areas
-                )[self.target_area_index]
+
+                def traced_chunk(idx, g=g, group=group):
+                    points, normals = aligned_chunk(g, idx)
+                    flux, intercept, on_target, blocking = trace_rays(
+                        tower=tower,
+                        aligned_surface_points=points,
+                        aligned_surface_normals=normals,
+                        incident_ray_directions=jnp.take(
+                            incident_dirs[g], idx, axis=0
+                        ),
+                        target_area_indices=jnp.take(
+                            target_indices[g], idx, axis=0
+                        ),
+                        distortions_u=jnp.take(distortions_[g][0], idx, axis=0),
+                        distortions_e=jnp.take(distortions_[g][1], idx, axis=0),
+                        ray_magnitude=ray_magnitudes[g],
+                        blocking_primitives=primitives,
+                        ray_primitive_indices=idx + int(group_offsets[g]),
+                        config=render_config,
+                    )
+                    flux_on_target = get_bitmaps_per_target(
+                        flux,
+                        jnp.take(target_indices[g], idx, axis=0),
+                        number_of_target_areas,
+                    )[self.target_area_index]
+                    return flux_on_target, (intercept, on_target, blocking)
+
+                chunk = chunking(group)
+                if chunk:
+                    group_flux, (intercept, on_target, blocking) = (
+                        chunked_sum_and_map(traced_chunk, active_indices[g], chunk)
+                    )
+                else:
+                    group_flux, (intercept, on_target, blocking) = traced_chunk(
+                        active_indices[g]
+                    )
+                total_flux = total_flux + group_flux
                 intercepts.append(intercept)
                 on_targets.append(on_target)
                 blockings.append(blocking)

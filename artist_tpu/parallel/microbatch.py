@@ -84,3 +84,28 @@ def chunked_sum(
 
     total, _ = jax.lax.scan(body, zero, xs_chunked)
     return total
+
+
+def chunked_sum_and_map(
+    fn: Callable[[Any], tuple[Any, Any]], xs: Any, chunk: int, remat: bool = True
+) -> tuple[Any, Any]:
+    """One scan returning BOTH an accumulated sum and concatenated outputs.
+
+    ``fn`` maps a chunk slice to ``(sum_part, map_part)``: the first pytree
+    is accumulated across chunks (e.g. the field's total flux bitmap), the
+    second is stitched back along the leading axis (e.g. per-heliostat
+    intercept factors). Saves re-running the chunk forward when a loss
+    needs both a field-level reduction and per-sample diagnostics.
+    """
+    xs_chunked = _reshape_chunks(xs, chunk)
+    body_fn = jax.checkpoint(fn) if remat else fn
+    first = jax.tree.map(lambda x: x[0], xs_chunked)
+    sum_shape, _ = jax.eval_shape(fn, first)
+    zero = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), sum_shape)
+
+    def body(carry, x):
+        sum_part, map_part = body_fn(x)
+        return jax.tree.map(jnp.add, carry, sum_part), map_part
+
+    total, ys = jax.lax.scan(body, zero, xs_chunked)
+    return total, jax.tree.map(lambda y: y.reshape(-1, *y.shape[2:]), ys)

@@ -104,3 +104,46 @@ def test_aim_point_optimizer_shapes_flux():
         # ...but the tanh reparameterization bounds each motor's excursion
         # by its scale = clamp(min margin to the limits, >= 1).
         assert (np.abs(motors - initial) <= scale + 1e-3).all()
+
+
+def test_aim_point_heliostat_chunked_matches_unchunked():
+    """heliostat_chunk (plant-scale microbatching) must not change the
+    optimization: two epochs chunked (chunk=2 of 4 heliostats) vs
+    unchunked agree on every history entry."""
+    if not SCENARIO.exists():
+        pytest.skip("reference scenario data not available")
+    resolution = (32, 32)
+    scenario_kwargs = dict(number_of_surface_points_per_facet=(8, 8))
+    horizontal = np.asarray(trapezoid_distribution(resolution[0], 6, 12))
+    vertical = np.asarray(trapezoid_distribution(resolution[1], 6, 12))
+    ground_truth = np.outer(vertical, horizontal)
+
+    histories = {}
+    for chunk in (None, 2):
+        optimizer = AimPointOptimizer(
+            scenario=load_scenario_from_hdf5(SCENARIO, **scenario_kwargs),
+            optimization_configuration=_configuration(max_epoch=2),
+            incident_ray_direction=[0.0, 1.0, 0.0, 0.0],
+            target_area_index=0,
+            ground_truth=ground_truth,
+            dni=800,
+            bitmap_resolution=resolution,
+            heliostat_chunk=chunk,
+        )
+        _, history, intercepts, _, blockings = optimizer.optimize(
+            "kl_divergence"
+        )
+        histories[chunk] = (history, np.asarray(intercepts), np.asarray(blockings))
+
+    history_plain, intercepts_plain, blockings_plain = histories[None]
+    history_chunked, intercepts_chunked, blockings_chunked = histories[2]
+    for key in history_plain:
+        np.testing.assert_allclose(
+            history_chunked[key],
+            history_plain[key],
+            rtol=2e-4,
+            atol=1e-6,
+            err_msg=f"history[{key}] diverges under heliostat chunking",
+        )
+    np.testing.assert_allclose(intercepts_chunked, intercepts_plain, atol=1e-4)
+    np.testing.assert_allclose(blockings_chunked, blockings_plain, atol=1e-4)
