@@ -281,14 +281,20 @@ def bilinear_splat_pallas(
 def _splat_forward(bitmap_e, bitmap_u, intensities, bitmap_resolution, compute_dtype):
     width, height = int(bitmap_resolution[0]), int(bitmap_resolution[1])
     num = bitmap_e.shape[0]
+    # fp32 factors are 2x the VMEM of bf16 and the HIGHEST-precision matmul
+    # adds decomposition temporaries: at the default 8192-ray block the
+    # fp32 kernel exceeds the 16M scoped-VMEM limit on the real chip
+    # (36.8M measured, caught by the round-5 flagship-shape lane test) -
+    # cap the fp32 block at 2048 (measured ~9M).
+    block = FWD_RAY_BLOCK if compute_dtype != jnp.float32 else min(FWD_RAY_BLOCK, 2048)
     # Out-of-range padding: lands in the invalid mask, contributes zero.
     # Flattening over (heliostat, ray) keeps ray blocks 1D (TPU tiling wants
     # the last dim % 128 == 0); padded per-heliostat counts stay block
     # multiples, so no block straddles two heliostats.
-    e = _pad_rays(bitmap_e.astype(jnp.float32), -10.0, FWD_RAY_BLOCK)
-    u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0, FWD_RAY_BLOCK)
-    w = _pad_rays(intensities.astype(jnp.float32), 0.0, FWD_RAY_BLOCK)
-    blocks_per_map = e.shape[1] // FWD_RAY_BLOCK
+    e = _pad_rays(bitmap_e.astype(jnp.float32), -10.0, block)
+    u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0, block)
+    w = _pad_rays(intensities.astype(jnp.float32), 0.0, block)
+    blocks_per_map = e.shape[1] // block
 
     kernel = functools.partial(
         _splat_fwd_kernel,
@@ -297,7 +303,7 @@ def _splat_forward(bitmap_e, bitmap_u, intensities, bitmap_resolution, compute_d
         blocks_per_map=blocks_per_map,
         compute_dtype=compute_dtype,
     )
-    ray_spec = pl.BlockSpec((FWD_RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(num * blocks_per_map,),
@@ -323,16 +329,19 @@ def _splat_bwd(bitmap_resolution, compute_dtype, residuals, g):
     bitmap_e, bitmap_u, intensities = residuals
     width, height = int(bitmap_resolution[0]), int(bitmap_resolution[1])
     num, n = bitmap_e.shape
-    e = _pad_rays(bitmap_e.astype(jnp.float32), -10.0, BWD_RAY_BLOCK)
-    u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0, BWD_RAY_BLOCK)
-    w = _pad_rays(intensities.astype(jnp.float32), 0.0, BWD_RAY_BLOCK)
-    blocks_per_map = e.shape[1] // BWD_RAY_BLOCK
+    # Same scoped-VMEM headroom cap as the forward: fp32 factors + the
+    # HIGHEST-precision matmul decomposition need a smaller ray block.
+    block = BWD_RAY_BLOCK if compute_dtype != jnp.float32 else min(BWD_RAY_BLOCK, 1024)
+    e = _pad_rays(bitmap_e.astype(jnp.float32), -10.0, block)
+    u = _pad_rays(bitmap_u.astype(jnp.float32), -10.0, block)
+    w = _pad_rays(intensities.astype(jnp.float32), 0.0, block)
+    blocks_per_map = e.shape[1] // block
     padded = e.shape[1]
 
     kernel = functools.partial(
         _splat_bwd_kernel, height=height, width=width, compute_dtype=compute_dtype
     )
-    ray_spec = pl.BlockSpec((BWD_RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM)
     grad_spec = pl.BlockSpec(
         (1, width, height),
         lambda i: (i // blocks_per_map, 0, 0),

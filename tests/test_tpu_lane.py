@@ -372,23 +372,20 @@ def test_flagship_shape_splat_parity_on_device():
             bilinear_splat(e_, u_, w_, resolution, flip_up_down=False, **kwargs)
         )
 
-    grad = jax.jit(
-        lambda kw, e_, u_, w_: jax.grad(loss, argnums=(1, 2, 3))(kw, e_, u_, w_),
-        static_argnames=(),
-    )
     ref_grads = jax.grad(loss, argnums=(1, 2, 3))(dict(method="scatter"), e, u, w)
-    dyn_grads = jax.grad(loss, argnums=(1, 2, 3))(
-        dict(method="pallas_fp32", block_window=96), e, u, w
-    )
-    for name, mine, theirs in zip(("de", "du", "dw"), dyn_grads, ref_grads):
-        gscale = max(float(jnp.abs(theirs).max()), 1e-9)
-        np.testing.assert_allclose(
-            np.asarray(mine) / gscale,
-            np.asarray(theirs) / gscale,
-            atol=1e-5,
-            err_msg=f"dynamic-window gradient {name} at flagship shape",
-        )
-    del grad
+    for variant in (
+        dict(method="pallas_fp32"),
+        dict(method="pallas_fp32", block_window=96),
+    ):
+        got_grads = jax.grad(loss, argnums=(1, 2, 3))(variant, e, u, w)
+        for name, mine, theirs in zip(("de", "du", "dw"), got_grads, ref_grads):
+            gscale = max(float(jnp.abs(theirs).max()), 1e-9)
+            np.testing.assert_allclose(
+                np.asarray(mine) / gscale,
+                np.asarray(theirs) / gscale,
+                atol=1e-5,
+                err_msg=f"{variant} gradient {name} at flagship shape",
+            )
 
 
 def test_compacted_blocking_optimizer_epoch_on_device():
