@@ -321,13 +321,20 @@ class AimPointOptimizer:
                 return points, normals
 
             def chunking(group):
-                return (
-                    heliostat_chunk
-                    if heliostat_chunk
-                    and group.number_of_heliostats % heliostat_chunk == 0
-                    and group.number_of_heliostats > heliostat_chunk
-                    else None
-                )
+                if not heliostat_chunk:
+                    return None
+                if group.number_of_heliostats <= heliostat_chunk:
+                    return None
+                if group.number_of_heliostats % heliostat_chunk:
+                    log.warning(
+                        "heliostat_chunk=%d does not divide the group's %d "
+                        "heliostats; microbatching is DISABLED for this "
+                        "group (it will need the full field's memory).",
+                        heliostat_chunk,
+                        group.number_of_heliostats,
+                    )
+                    return None
+                return heliostat_chunk
 
             # Field-wide blocking primitives from all aligned surfaces
             # (reference: heliostat_ray_tracer.py:159-183).
