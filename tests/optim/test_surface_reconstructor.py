@@ -144,3 +144,39 @@ def test_lock_control_points_on_outer_edges():
     np.testing.assert_array_equal(
         locked[:, :, 1:-1, 1:-1, :], grads[:, :, 1:-1, 1:-1, :]
     )
+
+
+def test_surface_reconstructor_ray_chunk_matches_unchunked():
+    """ray_chunk (memory-bounding remat scan) must not change the
+    optimization trajectory: two epochs chunked vs unchunked agree."""
+    if not SCENARIO.exists():
+        pytest.skip("reference scenario data not available")
+
+    histories = {}
+    for ray_chunk in (None, 2):
+        scenario = load_scenario_from_hdf5(
+            SCENARIO,
+            number_of_surface_points_per_facet=(8, 8),
+            change_number_of_control_points_per_facet=(7, 7),
+        )
+        reconstructor = SurfaceReconstructor(
+            scenario=scenario,
+            data={
+                constants.data_parser: PaintCalibrationDataParser(),
+                constants.heliostat_data_mapping: _heliostat_data_mapping(),
+            },
+            optimization_configuration=_optimization_configuration(
+                constants.cyclic, max_epoch=2, step_size_up=4
+            ),
+            bitmap_resolution=(64, 64),
+            ray_chunk=ray_chunk,
+        )
+        _, results = reconstructor.reconstruct_surfaces("kl_divergence")
+        histories[ray_chunk] = results[0].loss_history["total_loss"]
+
+    np.testing.assert_allclose(
+        histories[2],
+        histories[None],
+        rtol=2e-4,
+        err_msg="ray_chunk changed the optimization trajectory",
+    )
