@@ -110,6 +110,20 @@ class AimPointOptimizer:
             int(blocking_candidates) if blocking_candidates else None
         )
         self.heliostat_chunk = int(heliostat_chunk) if heliostat_chunk else None
+        if self.heliostat_chunk and (
+            mesh is not None
+            or (distributed_setup is not None and distributed_setup.mesh is not None)
+        ):
+            # A mesh already shards the heliostat axis across devices;
+            # scanning chunks of a sharded axis would serialize the very
+            # parallelism the mesh provides (and every take() becomes a
+            # cross-device gather). Single-chip memory bounding and
+            # multi-chip sharding are alternatives, not composable.
+            log.warning(
+                "heliostat_chunk is ignored when a device mesh is set: the "
+                "mesh shards the heliostat axis instead."
+            )
+            self.heliostat_chunk = None
         self.distributed_setup = distributed_setup
         if mesh is None and distributed_setup is not None:
             mesh = distributed_setup.mesh
