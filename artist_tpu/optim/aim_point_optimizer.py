@@ -89,14 +89,14 @@ class AimPointOptimizer:
         mesh: jax.sharding.Mesh | None = None,
         checkpoint_dir=None,
         checkpoint_every: int = 25,
-        blocking_candidates: int | None = None,
+        blocking_candidates: int | None = 16,
         heliostat_chunk: int | None = None,
     ) -> None:
         """``blocking_candidates``: per-heliostat candidate-blocker budget K
-        for the compacted Pallas pair kernels (None = the dense
-        O(rays x field) path). The corridor pre-cull is conservative and
-        stop-gradient; at production fields K=16 measured ~4.9x blocking
-        throughput (docs/performance.md).
+        for the compacted Pallas pair kernels. The default (16, matching
+        ``RenderConfig``) keeps the measured ~4.9x compacted path; pass
+        None/0 for the dense O(rays x field) kernels. The corridor
+        pre-cull is conservative and stop-gradient (docs/performance.md).
 
         ``heliostat_chunk``: microbatch each group's heliostat axis under a
         remat scan (parallel/microbatch.py) - bounds the
@@ -110,18 +110,24 @@ class AimPointOptimizer:
             int(blocking_candidates) if blocking_candidates else None
         )
         self.heliostat_chunk = int(heliostat_chunk) if heliostat_chunk else None
-        if self.heliostat_chunk and (
-            mesh is not None
-            or (distributed_setup is not None and distributed_setup.mesh is not None)
+        effective_mesh = mesh
+        if effective_mesh is None and distributed_setup is not None:
+            effective_mesh = distributed_setup.mesh
+        if (
+            self.heliostat_chunk
+            and effective_mesh is not None
+            and effective_mesh.devices.size > 1
         ):
-            # A mesh already shards the heliostat axis across devices;
+            # A MULTI-device mesh already shards the heliostat axis;
             # scanning chunks of a sharded axis would serialize the very
             # parallelism the mesh provides (and every take() becomes a
-            # cross-device gather). Single-chip memory bounding and
-            # multi-chip sharding are alternatives, not composable.
+            # cross-device gather). A trivial 1-device mesh (which
+            # setup_distributed_environment always builds) shards nothing,
+            # so chunking stays available there.
             log.warning(
-                "heliostat_chunk is ignored when a device mesh is set: the "
-                "mesh shards the heliostat axis instead."
+                "heliostat_chunk is ignored on a %d-device mesh: the mesh "
+                "shards the heliostat axis instead.",
+                effective_mesh.devices.size,
             )
             self.heliostat_chunk = None
         self.distributed_setup = distributed_setup
@@ -351,8 +357,13 @@ class AimPointOptimizer:
                 return heliostat_chunk
 
             # Field-wide blocking primitives from all aligned surfaces
-            # (reference: heliostat_ray_tracer.py:159-183).
+            # (reference: heliostat_ray_tracer.py:159-183). Un-chunked
+            # groups keep their aligned surfaces for the trace phase
+            # (aligned once, as before round 5); chunked groups re-align
+            # per chunk inside the remat scans instead of materializing
+            # the field-wide arrays.
             corners, spans, prim_normals = [], [], []
+            aligned_full: dict[int, tuple] = {}
             for g, group in enumerate(groups_):
                 chunk = chunking(group)
                 if chunk:
@@ -366,8 +377,9 @@ class AimPointOptimizer:
                         chunk,
                     )
                 else:
+                    aligned_full[g] = aligned_chunk(g, active_indices[g])
                     c, s, n = create_blocking_primitives_rectangles_by_index(
-                        aligned_chunk(g, active_indices[g])[0]
+                        aligned_full[g][0]
                     )
                 corners.append(c)
                 spans.append(s)
@@ -388,8 +400,8 @@ class AimPointOptimizer:
             intercepts, on_targets, blockings = [], [], []
             for g, group in enumerate(groups_):
 
-                def traced_chunk(idx, g=g, group=group):
-                    points, normals = aligned_chunk(g, idx)
+                def traced_chunk(idx, g=g, group=group, aligned=None):
+                    points, normals = aligned or aligned_chunk(g, idx)
                     flux, intercept, on_target, blocking = trace_rays(
                         tower=tower,
                         aligned_surface_points=points,
@@ -421,7 +433,7 @@ class AimPointOptimizer:
                     )
                 else:
                     group_flux, (intercept, on_target, blocking) = traced_chunk(
-                        active_indices[g]
+                        active_indices[g], aligned=aligned_full[g]
                     )
                 total_flux = total_flux + group_flux
                 intercepts.append(intercept)

@@ -585,6 +585,9 @@ class KinematicsReconstructor:
                     self.checkpoint_dir,
                     f"kinematics_group_{group_index}",
                     every=self.checkpoint_every,
+                    # Rank-disjoint groups must save locally (see the
+                    # surface reconstructor's per_process note).
+                    per_process=local_groups is not None,
                 )
                 restored = ckpt.restore_latest()
                 if restored is not None:

@@ -763,6 +763,13 @@ class SurfaceReconstructor:
                     self.checkpoint_dir,
                     f"surface_group_{group_index}",
                     every=self.checkpoint_every,
+                    # Non-nested multi-process: groups are rank-disjoint, so
+                    # each rank must save its own groups locally - orbax's
+                    # collective manager would never commit non-zero ranks'
+                    # state (host 0 commits behind cross-process barriers).
+                    # Nested mode keeps the collective default (every
+                    # process holds every group's replicated state).
+                    per_process=local_groups is not None,
                 )
                 restored = ckpt.restore_latest()
                 if restored is not None:

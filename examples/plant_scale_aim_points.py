@@ -33,6 +33,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor an explicit CPU request: this container's sitecustomize force-
+# selects the tunneled TPU backend IN-CONFIG at import, so the env var
+# alone is not enough (same pattern as bench.py / tests/conftest.py).
 if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
     import jax
 
