@@ -87,3 +87,30 @@ def test_bench_step_chunked_equals_unchunked():
     np.testing.assert_allclose(
         grad_chunked / scale, grad_direct / scale, atol=1e-5
     )
+
+
+def test_chunked_sum_and_map_matches_direct():
+    from artist_tpu.parallel.microbatch import chunked_sum_and_map
+
+    xs = jnp.arange(24.0).reshape(12, 2)
+
+    def fn(x):
+        return jnp.sum(x**2), x * 3.0
+
+    total, mapped = chunked_sum_and_map(fn, xs, 3)
+    np.testing.assert_allclose(total, jnp.sum(xs**2), rtol=1e-6)
+    np.testing.assert_allclose(mapped, xs * 3.0)
+
+    # Gradients accumulate through both outputs.
+    def loss(w):
+        total, mapped = chunked_sum_and_map(
+            lambda x: (jnp.sum((x @ w) ** 2), jnp.tanh(x @ w)), xs, 4
+        )
+        return total + jnp.sum(mapped)
+
+    w = jnp.asarray([0.3, -0.2])
+    def loss_direct(w):
+        return jnp.sum((xs @ w) ** 2) + jnp.sum(jnp.tanh(xs @ w))
+    np.testing.assert_allclose(
+        jax.grad(loss)(w), jax.grad(loss_direct)(w), rtol=1e-6
+    )
