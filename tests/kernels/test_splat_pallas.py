@@ -164,3 +164,58 @@ def test_windowed_drop_fraction_reports_outliers():
     # window (exactly which depends on each spot's weighted center)
     upper = float(jnp.sum(w[:, 0]) / jnp.sum(w))
     assert 0.0 < frac <= upper * 1.05
+
+
+@pytest.mark.parametrize(
+    "resolution,rays",
+    [
+        ((33, 47), 77),     # odd sizes, nothing tile-aligned
+        ((128, 64), 1000),  # rectangular
+        ((8, 8), 5),        # tiny bitmap, fewer rays than a block
+        ((100, 100), 513),  # PAINT-calibration-like odd square
+    ],
+)
+def test_splat_shape_sweep_parity(resolution, rays):
+    """Pallas splat == scatter across non-tile-aligned shapes.
+
+    The production shapes are 64/256-square; this guards the kernel's
+    padding/masking logic for arbitrary RenderConfig resolutions and ray
+    counts that are not block multiples."""
+    from artist_tpu.raytracing.splatting import bilinear_splat
+
+    rng = np.random.RandomState(hash(resolution) % 2**31)
+    num = 3
+    width, height = resolution
+    e = jnp.asarray(
+        rng.uniform(-2, width + 2, (num, rays)).astype(np.float32)
+    )
+    u = jnp.asarray(
+        rng.uniform(-2, height + 2, (num, rays)).astype(np.float32)
+    )
+    w = jnp.asarray(rng.rand(num, rays).astype(np.float32))
+    reference = bilinear_splat(
+        e, u, w, resolution, flip_up_down=False, method="scatter"
+    )
+    got = bilinear_splat(
+        e, u, w, resolution, flip_up_down=False, method="pallas_fp32"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(reference), atol=1e-5
+    )
+    # Gradient parity at the same shapes.
+    def loss(method, e_, u_, w_):
+        return jnp.sum(
+            bilinear_splat(e_, u_, w_, resolution, flip_up_down=False,
+                           method=method) ** 2
+        )
+
+    ref_grads = jax.grad(loss, argnums=(1, 2, 3))("scatter", e, u, w)
+    got_grads = jax.grad(loss, argnums=(1, 2, 3))("pallas_fp32", e, u, w)
+    for name, mine, theirs in zip(("de", "du", "dw"), got_grads, ref_grads):
+        scale = max(float(jnp.abs(theirs).max()), 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(mine) / scale,
+            np.asarray(theirs) / scale,
+            atol=1e-5,
+            err_msg=f"{name} at {resolution}",
+        )
