@@ -63,6 +63,18 @@ def test_splat_kernel_parity_on_device():
     np.testing.assert_allclose(
         np.asarray(dynamic), np.asarray(expected), atol=1e-5
     )
+    # Non-tile-aligned resolution: Mosaic's lane padding of a 100-wide
+    # (non-128-multiple) bitmap is exactly where interpret mode and the
+    # real lowering can diverge; the CPU suite sweeps more shapes
+    # (tests/kernels/test_splat_pallas.py::test_splat_shape_sweep_parity).
+    odd = (100, 100)
+    e_odd = e * (102.0 / 66.0)
+    u_odd = u * (102.0 / 66.0)
+    np.testing.assert_allclose(
+        np.asarray(bilinear_splat(e_odd, u_odd, w, odd, method="pallas_fp32")),
+        np.asarray(bilinear_splat(e_odd, u_odd, w, odd, method="scatter")),
+        atol=1e-5,
+    )
 
 
 def test_blocking_kernel_parity_on_device():
