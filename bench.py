@@ -37,6 +37,10 @@ Measurements:
   optimizer-loop regressions (checkpoint overhead, host-device sync)
   visible where the render-step entries cannot. ``BENCH_OPTIMIZER=0``
   skips it.
+- ``aim_point_optimization``: the same slope measurement for the
+  aim-point loop (flagship field, 8 rays/point, blocking ON with the
+  compacted K=16 kernels, three AL constraints, per-epoch host control
+  flow). ``BENCH_AIMPOINT=0`` skips it.
 - ``est_mfu`` / ``est_hbm_util``: XLA cost-analysis FLOPs and bytes of the
   compiled step divided by wall time and the chip's peak - a roofline
   position rather than a hardware-relative ratio. ``roofline_bound`` names
@@ -114,8 +118,10 @@ XL_CANDIDATE_SWEEP = tuple(
     for k in os.environ.get("BENCH_XL_CANDIDATES", "8,16,32").split(",")
     if k.strip()
 )
-# Optimizer-level entry: surface reconstruction at the production config.
+# Optimizer-level entries: surface reconstruction and aim-point
+# optimization at production-like configurations.
 RUN_OPTIMIZER = os.environ.get("BENCH_OPTIMIZER", "1") != "0"
+RUN_AIMPOINT = os.environ.get("BENCH_AIMPOINT", "1") != "0"
 # Optional per-heliostat splat window (compact-spot workloads; see
 # artist_tpu/kernels/splat_pallas.py). 0 = full-bitmap splat.
 SPLAT_WINDOW = int(os.environ.get("BENCH_SPLAT_WINDOW", 0))
@@ -674,6 +680,94 @@ def _bench_surface_reconstruction() -> dict:
     }
 
 
+def _bench_aim_point() -> dict:
+    """Epochs/hour of the aim-point optimizer at flagship scale.
+
+    The aim-point loop is the workload that pays for field-wide blocking
+    every epoch (compacted pair kernels, K=16 default) plus the three
+    Augmented-Lagrangian constraints and per-epoch host-side control flow
+    (scheduler, early stopping, loss canonicalization). Same 2-vs-6-epoch
+    slope method as the surface entry (reference workload:
+    examples/field_optimizations/config.yaml:57-80, batch 96 x 8 rays)."""
+    from artist_tpu.flux.bitmap import trapezoid_distribution
+    from artist_tpu.optim.aim_point_optimizer import AimPointOptimizer
+    from artist_tpu.scenario.synthetic import make_synthetic_scenario
+    from artist_tpu.util import constants
+
+    heliostats = int(os.environ.get("BENCH_AIMPOINT_HELIOSTATS", 100))
+    rays = int(os.environ.get("BENCH_AIMPOINT_RAYS", 8))
+    points = int(os.environ.get("BENCH_AIMPOINT_SURFACE_POINTS", 50))
+    horizontal = np.asarray(trapezoid_distribution(BITMAP[0], 30, 60))
+    vertical = np.asarray(trapezoid_distribution(BITMAP[1], 30, 60))
+    ground_truth = np.outer(vertical, horizontal)
+
+    def run(max_epoch: int) -> float:
+        scenario = make_synthetic_scenario(
+            number_of_heliostats=heliostats,
+            number_of_surface_points_per_facet=(points, points),
+            number_of_rays=rays,
+        )
+        optimizer = AimPointOptimizer(
+            scenario=scenario,
+            optimization_configuration={
+                constants.optimization: {
+                    constants.initial_learning_rate: 1e-3,
+                    constants.tolerance: 0.0,
+                    constants.max_epoch: max_epoch,
+                    constants.batch_size: 96,
+                    constants.log_step: 0,
+                    constants.early_stopping_delta: 1e-9,
+                    constants.early_stopping_patience: 10_000,
+                    constants.early_stopping_window: 10_000,
+                },
+                constants.scheduler: {
+                    constants.scheduler_type: constants.exponential,
+                    constants.gamma: 0.99,
+                },
+                constants.constraints: {
+                    constants.rho_flux_integral: 1.0,
+                    constants.rho_intercept: 1.0,
+                    constants.rho_local_flux: 1.0,
+                    constants.max_flux_density: 1e6,
+                },
+            },
+            incident_ray_direction=np.array([0.0, 1.0, 0.0, 0.0], np.float32),
+            target_area_index=0,
+            ground_truth=ground_truth,
+            dni=1000.0,
+            bitmap_resolution=BITMAP,
+        )
+        start = time.perf_counter()
+        optimizer.optimize("kl_divergence")
+        return time.perf_counter() - start
+
+    # A wide epoch spread AND min-of-2 per point: the loop's fixed cost
+    # (scenario build + initial alignment through the tunnel, compile-cache
+    # loads) is ~25 s with up to ~10 s run-to-run variance, while an epoch
+    # is a fraction of a second - single-shot 4- or even 20-epoch deltas
+    # measured NEGATIVE slopes. The min damps the fixed-cost outliers the
+    # way the torch-baseline leg's best-of-2 does.
+    short_epochs, long_epochs = 2, 22
+    run(short_epochs)  # warmup: pays the jit compiles (persistent-cached)
+    t_short = min(run(short_epochs), run(short_epochs))
+    t_long = min(run(long_epochs), run(long_epochs))
+    per_epoch = (t_long - t_short) / (long_epochs - short_epochs)
+    print(
+        f"aim-point optimization: {t_short:.1f}s/{short_epochs}ep, "
+        f"{t_long:.1f}s/{long_epochs}ep -> {per_epoch:.2f}s/epoch",
+        file=sys.stderr,
+    )
+    if per_epoch <= 0:
+        return {"error": "non-positive per-epoch slope (timing noise)"}
+    return {
+        "epochs_per_hour": round(3600.0 / per_epoch, 1),
+        "seconds_per_epoch": round(per_epoch, 3),
+        "heliostats": heliostats,
+        "rays_per_point": rays,
+        "blocking": "compacted K=16",
+    }
+
+
 def main() -> None:
     from artist_tpu.util import enable_compilation_cache
 
@@ -859,6 +953,13 @@ def main() -> None:
         except Exception as error:  # noqa: BLE001 - report, don't die
             print(f"optimizer measurement failed: {error}", file=sys.stderr)
             result["surface_reconstruction"] = {"error": str(error)}
+
+    if RUN_AIMPOINT:
+        try:
+            result["aim_point_optimization"] = _bench_aim_point()
+        except Exception as error:  # noqa: BLE001 - report, don't die
+            print(f"aim-point measurement failed: {error}", file=sys.stderr)
+            result["aim_point_optimization"] = {"error": str(error)}
 
     # Multi-device scaling efficiency (real chips only; virtual CPU devices
     # share cores, so scaling there measures nothing).

@@ -155,6 +155,15 @@ def render_table(bench: dict, source: str) -> str:
             f"The step runs at {bench['mfu_vs_measured_peak']:.2f} of the "
             "device's measured matmul peak (`mfu_vs_measured_peak`)."
         )
+    aim = bench.get("aim_point_optimization", {})
+    if aim.get("epochs_per_hour"):
+        lines.append("")
+        lines.append(
+            f"Aim-point optimization (flagship field, "
+            f"{aim.get('rays_per_point')} rays/point, blocking "
+            f"{aim.get('blocking')}): **{aim['epochs_per_hour']:.0f} "
+            f"epochs/hour** ({aim.get('seconds_per_epoch')} s/epoch)."
+        )
     recon = bench.get("surface_reconstruction", {})
     if recon.get("epochs_per_hour"):
         lines.append("")
