@@ -37,6 +37,11 @@ def main() -> None:
         action="store_true",
         help="use one heliostat group so world_size > groups (global mesh)",
     )
+    parser.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="exercise per-rank checkpointing (checkpoint_every=1)",
+    )
     args = parser.parse_args()
 
     import numpy as np
@@ -113,6 +118,11 @@ def main() -> None:
         if number_of_groups > 1:
             scenario = split_into_groups(scenario, number_of_groups)
 
+        checkpoint_kwargs = (
+            dict(checkpoint_dir=args.checkpoint_dir, checkpoint_every=1)
+            if args.checkpoint_dir
+            else {}
+        )
         surface_reconstructor = SurfaceReconstructor(
             scenario=scenario,
             data=data,
@@ -120,6 +130,7 @@ def main() -> None:
             number_of_surface_points=(4, 4),
             bitmap_resolution=(32, 32),
             distributed_setup=setup,
+            **checkpoint_kwargs,
         )
         surface_loss, surface_results = surface_reconstructor.reconstruct_surfaces(
             "kl_divergence"
@@ -132,6 +143,7 @@ def main() -> None:
             reconstruction_method=constants.kinematics_reconstruction_raytracing,
             bitmap_resolution=(32, 32),
             distributed_setup=setup,
+            **checkpoint_kwargs,
         )
         kinematics_loss, kinematics_results = (
             kinematics_reconstructor.reconstruct_kinematics("focal_spot")
@@ -168,6 +180,7 @@ def main() -> None:
             dni=1000.0,
             bitmap_resolution=(32, 32),
             distributed_setup=setup,
+            **checkpoint_kwargs,
         )
         aim_loss, _, aim_intercepts, aim_on_targets, aim_blockings = (
             aim_point_optimizer.optimize("kl_divergence")

@@ -31,7 +31,9 @@ def _worker_env() -> dict:
     return env
 
 
-def _run_world(tmp_path, world_size: int, nested: bool = False) -> list[dict]:
+def _run_world(
+    tmp_path, world_size: int, nested: bool = False, checkpoint_dir=None
+) -> list[dict]:
     """Launch ``world_size`` workers; return their result dicts by rank."""
     outputs = [tmp_path / f"w{world_size}_r{rank}.npz" for rank in range(world_size)]
     commands = []
@@ -54,6 +56,8 @@ def _run_world(tmp_path, world_size: int, nested: bool = False) -> list[dict]:
             ]
         if nested:
             command.append("--nested")
+        if checkpoint_dir is not None:
+            command += ["--checkpoint-dir", str(checkpoint_dir)]
         commands.append(command)
     processes = [
         subprocess.Popen(
@@ -150,4 +154,37 @@ def test_two_process_nested_global_mesh_matches_single_process(tmp_path):
             result["rotation_deviations_0"],
             single["rotation_deviations_0"],
             atol=1e-5,
+        )
+
+
+@pytest.mark.slow
+def test_two_process_checkpoints_commit_on_every_rank(tmp_path):
+    """Per-rank checkpointing in the 2-process group-parallel mode: EVERY
+    rank's group checkpoints must actually commit (orbax's default manager
+    is collective - host 0 commits behind cross-process barriers - so
+    without the per_process option non-zero ranks' state would never land;
+    advisor finding, round 4)."""
+    checkpoint_dir = tmp_path / "ckpt"
+    _run_world(tmp_path, world_size=2, checkpoint_dir=checkpoint_dir)
+
+    from artist_tpu.io.checkpoint import CheckpointManager
+
+    expected = [
+        "surface_group_0",
+        "surface_group_1",
+        "kinematics_group_0",
+        "kinematics_group_1",
+        "aim_point_rank0",
+        "aim_point_rank1",
+    ]
+    for label in expected:
+        directory = checkpoint_dir / label
+        assert directory.is_dir(), f"no checkpoint directory for {label}"
+        manager = CheckpointManager(directory)
+        latest = manager.latest_step
+        manager.close()
+        assert latest is not None, f"{label}: no committed checkpoint step"
+        restored = CheckpointManager(directory).restore()
+        assert restored is not None and "epoch" in restored, (
+            f"{label}: committed step {latest} does not restore"
         )
