@@ -25,7 +25,7 @@ from importlib.metadata import PackageNotFoundError, version as _distribution_ve
 try:
     __version__ = _distribution_version("artist-tpu")
 except PackageNotFoundError:
-    __version__ = "0.3.0"
+    __version__ = "0.4.0"
 del PackageNotFoundError, _distribution_version
 
 from artist_tpu.util.logging_utils import set_logger_config, track_runtime  # noqa: F401
